@@ -1,0 +1,196 @@
+"""The parse stage: token sequences → flat, typed span rows.
+
+Reference semantics being reproduced (SURVEY.md §2.2):
+
+- P1  triple-nested flatten ``resourceSpans[] × scopeSpans[] × spans[]``
+      with resource/scope context copied onto every span
+      (``Span::from_collector_request``, otel.rs:49-118) — expressed as
+      an ``explode_outer`` chain (Spark's lateral view; the correlated
+      flatten replicates the parent columns per row for free);
+- P2  nanos → timestamp (otel.rs:12-17) — invalid values become null +
+      quarantine instead of the reference's panic;
+- P3/P15 hex ids, lowercased + validated (data/models.rs:82-213);
+- P4  empty parentSpanId → NULL (otel.rs:75-79);
+- P5/P6 enum decodes (kind / status code) with the reference's exact
+      strings; missing kind defaults to ``Unspecified``
+      (data/models.rs:58: ``kind.unwrap_or_default()``);
+- P7/P8 attribute maps: key-sorted, values as untagged JSON strings;
+- P9/P10 event / link normalization via ``transform`` HOFs;
+- P11/P12 the ``inner`` JSON column (full span as JSON text);
+- P14 id extraction is a plain ``select`` on the parsed frame.
+
+Everything after the detokenize pandas UDF is built-in Catalyst
+expressions (whole-stage codegen); ``from_json`` does the heavy
+lifting JVM-side. Invalid rows (bad UTF-8, malformed JSON, bad hex,
+out-of-range times) carry ``is_valid=false`` + a reason instead of
+failing the batch, and ``split_quarantine`` routes them to a
+quarantine sink — at 100 TB a single poison payload must not kill the
+job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import ANYVALUE_DEPTH, SPAN_KINDS, STATUS_CODES, otlp_envelope_schema
+from .serialize import attrs_to_map, json_unquote, span_inner_json
+from .tokens import detokenize_expr, detokenize_udf
+
+HEX_RE = r"^([0-9a-f]{2})+$"
+
+#: longs beyond ~year 2262 overflow i64 nanos; treat as invalid (P2)
+MAX_UNIX_NANOS = 9_223_372_036_854_775_807
+
+
+def _kind_expr(kind: Column) -> Column:
+    """Proto int → enum string; null/unknown → Unspecified (P5, P11)."""
+    m = F.create_map(*[F.lit(x) for kv in SPAN_KINDS.items() for x in kv])
+    return F.coalesce(m[kind], F.lit("Unspecified"))
+
+
+def _status_expr(code: Column) -> Column:
+    """Proto int → {Unset,Ok,Error}; unknown ints → Unset (P6)."""
+    m = F.create_map(*[F.lit(x) for kv in STATUS_CODES.items() for x in kv])
+    return F.coalesce(m[code], F.when(code.isNotNull(), F.lit("Unset")))
+
+
+def _nanos_to_ts(nanos_str: Column) -> Column:
+    """Decimal-string unix nanos → TimestampType (µs precision) (P2).
+
+    ``try_cast`` so an out-of-i64-range value (where the reference
+    panics, otel.rs:15) nulls out and quarantines instead of killing
+    the job under ANSI mode.
+    """
+    ns = nanos_str.try_cast("long")
+    return F.timestamp_micros(F.floor(ns / 1000).try_cast("long"))
+
+
+def _hex_id(c: Column) -> Column:
+    """Lowercase + empty→null (P3/P4); validity checked separately."""
+    lowered = F.lower(c)
+    return F.when(F.length(lowered) > 0, lowered)
+
+
+def parse_token_sequences(
+    df: DataFrame,
+    depth: int = ANYVALUE_DEPTH,
+    detokenizer: str = "pandas",
+    with_inner: bool = True,
+) -> DataFrame:
+    """token_sequences(doc_id, tokens, n_tok, source) → flat span rows.
+
+    Returns one row per wire span (plus one all-null-span row per
+    undecodable sequence, flagged ``is_valid=false``) with the columns
+    of ``schemas.SPAN_SINK_COLUMNS`` + ``is_valid`` + ``invalid_reason``.
+    ``tokens`` is carried through untouched — the north rule's
+    token-array-equality invariant.
+    """
+    detok = detokenize_udf(F.col("tokens")) if detokenizer == "pandas" else detokenize_expr("tokens")
+    env_schema = otlp_envelope_schema(depth)
+
+    parsed = (
+        df.withColumn("_payload", detok)
+        .withColumn("_env", F.from_json("_payload", env_schema))
+        # P1: the triple flatten. explode_outer keeps undecodable rows
+        # (null envelope) so they can be quarantined downstream.
+        .select("*", F.explode_outer("_env.resourceSpans").alias("_rs"))
+        .select("*", F.explode_outer("_rs.scopeSpans").alias("_ss"))
+        .select("*", F.explode_outer("_ss.spans").alias("_sp"))
+    )
+
+    sp = F.col("_sp")
+    resource_attrs = attrs_to_map(F.col("_rs.resource.attributes"), depth)
+    scope_attrs = attrs_to_map(F.col("_ss.scope.attributes"), depth)
+    span_attrs = attrs_to_map(sp["attributes"], depth)
+
+    events = F.transform(
+        sp["events"],
+        lambda e: F.struct(
+            e["name"].alias("name"),
+            _nanos_to_ts(e["timeUnixNano"]).alias("timestamp"),
+            attrs_to_map(e["attributes"], depth).alias("attributes"),
+        ),
+    )
+    links = F.transform(
+        sp["links"],
+        lambda li: F.struct(
+            _hex_id(li["traceId"]).alias("trace_id"),
+            _hex_id(li["spanId"]).alias("span_id"),
+            li["traceState"].alias("trace_state"),
+            attrs_to_map(li["attributes"], depth).alias("attributes"),
+            li["flags"].alias("flags"),
+        ),
+    )
+
+    out = parsed.select(
+        _hex_id(sp["traceId"]).alias("trace_id"),
+        _hex_id(sp["spanId"]).alias("span_id"),
+        _hex_id(sp["parentSpanId"]).alias("parent_span_id"),
+        sp["name"].alias("name"),
+        _kind_expr(sp["kind"]).alias("kind"),
+        _nanos_to_ts(sp["startTimeUnixNano"]).alias("start_time"),
+        _nanos_to_ts(sp["endTimeUnixNano"]).alias("end_time"),
+        sp["traceState"].alias("trace_state"),
+        sp["flags"].alias("flags"),
+        F.col("_ss.scope.name").alias("scope_name"),
+        F.col("_ss.scope.version").alias("scope_version"),
+        _status_expr(sp["status"]["code"]).alias("status_code"),
+        sp["status"]["message"].alias("status_message"),
+        span_attrs.alias("attributes"),
+        scope_attrs.alias("scope_attributes"),
+        resource_attrs.alias("resource_attributes"),
+        events.alias("events"),
+        links.alias("links"),
+        F.col("doc_id"),
+        F.col("tokens"),
+        F.col("n_tok"),
+        F.col("source"),
+        F.isnull("_env").alias("_decode_failed"),
+    )
+
+    # Denormalized convenience columns the routing stage keys on
+    # (severity for logs, service.name for the broadcast enrich — J2).
+    out = out.withColumn(
+        "severity", json_unquote(F.col("attributes")["severity"])
+    ).withColumn("service_name", json_unquote(F.col("resource_attributes")["service.name"]))
+
+    invalid_reason = (
+        F.when(F.col("_decode_failed"), F.lit("undecodable_payload"))
+        .when(F.col("trace_id").isNull() | ~F.col("trace_id").rlike(HEX_RE), F.lit("invalid_trace_id"))
+        .when(F.col("span_id").isNull() | ~F.col("span_id").rlike(HEX_RE), F.lit("invalid_span_id"))
+        .when(F.col("parent_span_id").isNotNull() & ~F.col("parent_span_id").rlike(HEX_RE), F.lit("invalid_parent_span_id"))
+        .when(F.col("name").isNull(), F.lit("missing_name"))
+        .when(F.col("start_time").isNull() | F.col("end_time").isNull(), F.lit("invalid_time"))
+    )
+    out = (
+        out.withColumn("invalid_reason", invalid_reason)
+        .withColumn("is_valid", invalid_reason.isNull())
+        .drop("_decode_failed")
+    )
+
+    if with_inner:
+        cols = {name: F.col(name) for name in out.columns}
+        out = out.withColumn("inner", span_inner_json(cols))
+    else:
+        out = out.withColumn("inner", F.lit(None).cast("string"))
+    return out
+
+
+def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid spans, quarantined rows). Lazy — no action triggered.
+
+    The reference 422s the whole request on a bad payload
+    (handlers/otel.rs:25-28 → ApiServerError); at scale we instead
+    quarantine per-row and keep the batch flowing.
+    """
+    good = parsed.filter(F.col("is_valid")).drop("is_valid", "invalid_reason")
+    bad = parsed.filter(~F.col("is_valid")).drop("is_valid")
+    return good, bad
+
+
+def extract_trace_ids(parsed: DataFrame) -> DataFrame:
+    """P14: all (trace_id, span_id) pairs for the SpanAdded broadcast
+    (``Service::extract_trace_ids``, service.rs:60-74) — a reuse of the
+    parsed frame, not a second walk of the envelope."""
+    return parsed.select("trace_id", "span_id")
