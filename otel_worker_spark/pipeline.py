@@ -1,0 +1,81 @@
+"""The end-to-end ingest pipeline: parse → enrich → route → sinks.
+
+One micro-batch = one ``ingest_batch`` call (the reference's
+``Service::ingest_export``, service.rs:32-54, set-oriented). The
+batch is processed in exactly TWO Spark jobs:
+
+1. one partitioned write that lands every signal sink, the quarantine
+   rows and the SpanAdded manifest columns in a single pass (the
+   routed frame is persisted so parse runs once);
+2. one aggregate for the per-sink receipts.
+
+All appends are idempotent by batch_id (see store.TableStore), so a
+restarted stream replays safely — the real version of the atomicity
+the reference only fakes (M3, data.rs:43-48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .enrich import enrich_spans
+from .parse import parse_token_sequences
+from .route import signal_expr, sink_receipts, span_added_manifest
+from .store import TableStore
+
+
+class PipelineStores:
+    """The table set of one deployment (FIXTURES.md §5)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spans = TableStore(spark, f"{root}/spans")          # routed, partitioned by signal
+        self.quarantine = TableStore(spark, f"{root}/quarantine")
+        self.receipts = TableStore(spark, f"{root}/sink_receipts")
+        self.manifest = TableStore(spark, f"{root}/span_added_manifest")
+
+    def sink(self, signal: str) -> DataFrame:
+        """Per-signal sink view (file-level pruned)."""
+        return self.spans.read(partition=signal)
+
+
+def transform_batch(token_df: DataFrame, service_lookup: DataFrame, depth: int = 3) -> DataFrame:
+    """The pure transformation: token sequences → routed span rows
+    (+ quarantine rows flagged by is_valid). No I/O, reusable by
+    batch jobs, the streaming wrapper, and tests alike — the
+    reference's one-engine/thin-adapters shape (SURVEY §3.3)."""
+    parsed = parse_token_sequences(token_df, depth=depth)
+    enriched = enrich_spans(parsed, service_lookup)
+    return enriched.withColumn(
+        "signal",
+        F.when(~F.col("is_valid"), F.lit("quarantine")).otherwise(signal_expr()),
+    ).drop("is_valid")
+
+
+def ingest_batch(
+    spark: SparkSession,
+    token_df: DataFrame,
+    service_lookup: DataFrame,
+    stores: PipelineStores,
+    batch_id: str | int,
+) -> dict:
+    """Process one micro-batch end-to-end. Returns the batch receipt
+    (per-sink counts — the ExportTraceServiceResponse analog)."""
+    if str(batch_id) in stores.spans.committed_batches():
+        # replay after restart: exactly-once, return the original receipt
+        return {**stores.spans.committed_batches()[str(batch_id)], "skipped": True}
+
+    routed = transform_batch(token_df, service_lookup)
+    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        receipt = stores.spans.append(routed, batch_id, partition_by="signal")
+        rec_df = sink_receipts(routed.filter(F.col("signal") != "quarantine"), batch_id)
+        stores.receipts.append(rec_df, batch_id)
+        stores.manifest.append(
+            span_added_manifest(routed.filter(F.col("signal") != "quarantine"), batch_id),
+            batch_id,
+        )
+        return {**receipt, "skipped": False}
+    finally:
+        routed.unpersist()

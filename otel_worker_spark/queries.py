@@ -1,0 +1,119 @@
+"""The read-side query layer — reference HTTP API semantics as
+single-plan DataFrame queries (SURVEY.md §2.3-§2.6, §2.11).
+
+Where the reference does an N+1 loop (list top-k traces, then fetch
+spans per trace — handlers/traces.rs:19-33), this layer issues ONE
+declarative plan: top-k via ``TakeOrderedAndProject`` (no global
+sort), then a **broadcast semi-join** of the ≤k trace ids back against
+the span table, then ``collect_list``. At 100 TB the semi-join
+broadcasts ~20 ids to every executor; the only shuffle is the
+group-by on trace_id, which a bucket(trace_id) table layout removes
+entirely under storage-partitioned joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class NotFound(Exception):
+    """404 semantics: empty result where the reference raises
+    DbError::NotFound (otel-worker-cli/src/data/util.rs:18-20) or an
+    empty trace group yields None (otel.rs:305-318)."""
+
+
+DEFAULT_TRACE_LIMIT = 20  # limit.unwrap_or(20), data/sql.rs:83
+
+
+def traces_list(spans: DataFrame, limit: int | None = None, time=None) -> DataFrame:
+    """A1+O1+F3: ``SELECT trace_id, MAX(end_time) AS end_time FROM spans
+    [WHERE end_time <= t] GROUP BY trace_id ORDER BY end_time DESC
+    LIMIT k`` (data/sql.rs:82-101).
+
+    Partial hash-agg map-side, shuffle on trace_id, final agg, then
+    top-k (TakeOrderedAndProject — no global sort). trace_id is the
+    deterministic tiebreaker the reference leaves to SQLite's whim.
+    """
+    df = spans
+    if time is not None:
+        df = df.filter(F.col("end_time") <= F.lit(time))
+    return (
+        df.groupBy("trace_id")
+        .agg(F.max("end_time").alias("end_time"))
+        .orderBy(F.desc("end_time"), F.desc("trace_id"))
+        .limit(limit or DEFAULT_TRACE_LIMIT)
+    )
+
+
+def trace_summaries(
+    spans: DataFrame, limit: int | None = None, time=None, span_cols: list[str] | None = None
+) -> DataFrame:
+    """J1+A2: the reference's N+1 as one plan — top-k trace ids
+    broadcast-semi-joined to spans, spans collected per trace sorted
+    by start time (TraceSummary, otel.rs:295-318).
+    """
+    top = traces_list(spans, limit, time)
+    cols = span_cols or ["span_id", "parent_span_id", "name", "kind", "start_time", "end_time"]
+    picked = spans.join(F.broadcast(top.select("trace_id")), "trace_id", "left_semi")
+    collected = picked.groupBy("trace_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("start_time").alias("_ord"), *[F.col(c).alias(c) for c in cols]))
+        ).alias("spans")
+    )
+    # re-attach ordering key and keep the reference's list order
+    return (
+        collected.join(F.broadcast(top), "trace_id")
+        .orderBy(F.desc("end_time"), F.desc("trace_id"))
+        .select("trace_id", "end_time", "spans")
+    )
+
+
+def span_list_by_trace(spans: DataFrame, trace_id: str) -> DataFrame:
+    """F2: key-prefix scan (data/sql.rs:40-42)."""
+    return spans.filter(F.col("trace_id") == F.lit(trace_id))
+
+
+def span_get(spans: DataFrame, trace_id: str, span_id: str):
+    """F1: two-column point lookup (data/sql.rs:32-34); 0 rows → 404
+    (handlers/spans.rs:34-44). Returns the Row."""
+    rows = (
+        spans.filter((F.col("trace_id") == F.lit(trace_id)) & (F.col("span_id") == F.lit(span_id)))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise NotFound(f"span {trace_id}/{span_id}")
+    return rows[0]
+
+
+def trace_get(spans: DataFrame, trace_id: str):
+    """F2+A2+F5: one trace summary; empty group → 404
+    (handlers/traces.rs:48-61). Returns the Row of trace_summaries."""
+    one = trace_summaries(span_list_by_trace(spans, trace_id), limit=1)
+    rows = one.collect()
+    if not rows:
+        raise NotFound(f"trace {trace_id}")
+    return rows[0]
+
+
+def parent_child_spans(spans: DataFrame) -> DataFrame:
+    """J3: the self-join the reference indexes for but never ships
+    ((trace_id, parent_span_id) index, 20240708_create_spans.sql:16) —
+    child rows joined to their parent within the same trace.
+
+    Co-partitioned on trace_id: with both sides bucketed by trace_id
+    this is a shuffle-free storage-partitioned join at scale.
+    """
+    child = spans.select(
+        F.col("trace_id"),
+        F.col("span_id").alias("child_span_id"),
+        F.col("parent_span_id"),
+        F.col("name").alias("child_name"),
+    ).filter(F.col("parent_span_id").isNotNull())
+    parent = spans.select(
+        F.col("trace_id"),
+        F.col("span_id").alias("parent_span_id"),
+        F.col("name").alias("parent_name"),
+    )
+    return child.join(parent, ["trace_id", "parent_span_id"], "inner")

@@ -1,0 +1,282 @@
+"""Parquet + atomic commit-log table store (the Iceberg stand-in).
+
+The reference persists spans in SQLite via one INSERT per span inside
+a *nominal* transaction — both stores fake begin/commit/rollback as
+no-ops (otel-worker-core/src/data.rs:43-48, otel-worker/src/data.rs:
+67-83, otel-worker-cli/src/data.rs:106-118); atomicity actually comes
+from the per-request all-or-nothing handler (service.rs:32-54).
+
+This layer provides the *real* version of that contract, set-oriented:
+
+- ``append(df, batch_id)`` writes parquet files then atomically
+  publishes them with one commit-log record (``open(..., 'x')`` — a
+  crash before the log write leaves invisible orphan files, never a
+  partial batch);
+- appends are **idempotent by batch_id** — replaying a micro-batch
+  after a restart is a no-op that returns the original receipt
+  (exactly-once sinks for Structured Streaming's foreachBatch);
+- each commit records **per-file row counts** (the per-partition
+  lineage the north rule asks for) plus wall-clock, giving
+  ingest-rate metrics for free;
+- ``delete_where`` rewrites only the files that contain matching rows
+  (file-level pruning via ``input_file_name``), mirroring Iceberg's
+  copy-on-write DELETE; returns rows_affected like the reference's
+  DELETE handlers (otel-worker/src/data.rs:176-224).
+
+On a real cluster this module is swapped for Iceberg
+(``df.writeTo(...).append()``, snapshot commits, bucket(16, trace_id)
+partitioning); the interface is deliberately shaped so that swap is a
+one-file change. Iceberg jars are not available in this image.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.log_dir = os.path.join(root, "_log")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # ---- commit log ----
+
+    def _entries(self) -> list[dict]:
+        names = sorted(n for n in os.listdir(self.log_dir) if n.endswith(".json"))
+        out = []
+        for n in names:
+            with open(os.path.join(self.log_dir, n)) as f:
+                out.append(json.load(f))
+        return out
+
+    def _commit(self, entry: dict) -> None:
+        seq = len([n for n in os.listdir(self.log_dir) if n.endswith(".json")])
+        entry["seq"] = seq
+        entry["committed_at"] = time.time()
+        path = os.path.join(self.log_dir, f"{seq:012d}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.rename(tmp, path)  # atomic publish
+
+    def committed_batches(self) -> dict[str, dict]:
+        return {e["batch_id"]: e for e in self._entries() if e.get("batch_id") is not None}
+
+    def live_files(self) -> list[str]:
+        live: list[str] = []
+        for e in self._entries():
+            removed = set(e.get("removed_files", []))
+            if removed:
+                live = [f for f in live if f not in removed]
+            live.extend(e.get("added_files", []))
+        return live
+
+    # ---- schema persistence (so an empty table still reads) ----
+
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.root, "schema.json")
+
+    def _save_schema(self, df: DataFrame) -> None:
+        if not os.path.exists(self._schema_path):
+            with open(self._schema_path, "w") as f:
+                f.write(df.schema.json())
+
+    def _load_schema(self) -> T.StructType | None:
+        if not os.path.exists(self._schema_path):
+            return None
+        with open(self._schema_path) as f:
+            return T.StructType.fromJson(json.load(f))
+
+    # ---- operations ----
+
+    def _write_files(
+        self, df: DataFrame, tag: str, partition_by: str | None = None
+    ) -> tuple[list[str], list[dict]]:
+        out_dir = os.path.join(self.data_dir, f"{tag}-{uuid.uuid4().hex[:12]}")
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(out_dir)
+        files, lineage = [], []
+        for dirpath, _dirnames, filenames in sorted(os.walk(out_dir)):
+            for name in sorted(filenames):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, name)
+                rec = {"file": path, "rows": pq.ParquetFile(path).metadata.num_rows}
+                if partition_by:
+                    # hive-style dir component "<col>=<value>"
+                    for comp in os.path.relpath(path, out_dir).split(os.sep):
+                        if comp.startswith(partition_by + "="):
+                            rec["partition"] = comp.split("=", 1)[1]
+                files.append(path)
+                lineage.append(rec)
+        return files, lineage
+
+    def append(
+        self, df: DataFrame, batch_id: str | int, partition_by: str | None = None
+    ) -> dict:
+        """Atomic, idempotent-by-batch append. Returns the receipt.
+
+        ``partition_by`` writes hive-style subdirectories in ONE job —
+        the single-pass per-signal fan-out (each sink = a partition of
+        the same write, so parse/enrich never run more than once).
+        """
+        batch_id = str(batch_id)
+        existing = self.committed_batches().get(batch_id)
+        if existing is not None:
+            return {**existing, "skipped": True}
+        self._save_schema(df.drop(partition_by) if partition_by else df)
+        files, lineage = self._write_files(df, f"b-{batch_id}", partition_by)
+        entry = {
+            "op": "append",
+            "batch_id": batch_id,
+            "partition_by": partition_by,
+            "added_files": files,
+            "removed_files": [],
+            "row_count": sum(x["rows"] for x in lineage),
+            "lineage": lineage,
+        }
+        self._commit(entry)
+        return {**entry, "skipped": False}
+
+    def _file_partitions(self) -> dict[str, tuple[str | None, str | None]]:
+        """file → (partition_col, partition_value) from the log."""
+        out: dict[str, tuple[str | None, str | None]] = {}
+        for e in self._entries():
+            pcol = e.get("partition_by")
+            for rec in e.get("lineage", []):
+                out[rec["file"]] = (pcol, rec.get("partition"))
+        return out
+
+    def read(self, partition: str | None = None) -> DataFrame:
+        """Snapshot read; ``partition`` prunes to one partition value
+        (a per-signal sink view) at the file-list level — no data read
+        from other sinks at all."""
+        files = self.live_files()
+        parts = self._file_partitions()
+        if partition is not None:
+            files = [f for f in files if parts.get(f, (None, None))[1] == partition]
+        if not files:
+            schema = self._load_schema()
+            if schema is None:
+                raise ValueError(f"table at {self.root} has never been written")
+            df = self.spark.createDataFrame([], schema)
+            pcol = next((p[0] for p in parts.values() if p[0]), None)
+            if pcol:
+                df = df.withColumn(pcol, F.lit(partition).cast("string"))
+            return df
+        # group by partition value, re-attach the partition column
+        by_val: dict[tuple[str | None, str | None], list[str]] = {}
+        for f in files:
+            by_val.setdefault(parts.get(f, (None, None)), []).append(f)
+        frames = []
+        for (pcol, pval), fs in by_val.items():
+            df = self.spark.read.parquet(*fs)
+            if pcol is not None:
+                df = df.withColumn(pcol, F.lit(pval))
+            frames.append(df)
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def delete_where(self, predicate: str) -> int:
+        """Copy-on-write DELETE (M1/M2). Returns rows_affected.
+
+        Only files that actually contain matching rows are rewritten —
+        the parquet-level analog of Iceberg's file pruning; with a
+        bucket(trace_id) layout a delete-by-trace touches one bucket.
+        Partition attribution (e.g. the per-signal fan-out column) is
+        preserved through the rewrite.
+        """
+        files = self.live_files()
+        if not files:
+            return 0
+        parts = self._file_partitions()
+        pcol = next((p[0] for p in parts.values() if p[0] is not None), None)
+        df = self.read().withColumn("_f", F.input_file_name())
+        # input_file_name yields URIs (file:///…); keep both forms —
+        # URIs to filter the frame, plain paths to match the log.
+        affected_uris = [
+            r[0] for r in df.filter(predicate).select("_f").distinct().collect()
+        ]
+        affected = [a.removeprefix("file://") for a in affected_uris]
+        if not affected:
+            return 0
+        affected_set = set(affected)
+        # per-file row counts come from the commit log — no extra job
+        before = sum(
+            rec["rows"]
+            for e in self._entries()
+            for rec in e.get("lineage", [])
+            if rec["file"] in affected_set
+        )
+        kept = (
+            df.filter(F.col("_f").isin(affected_uris))
+            .filter(f"NOT ({predicate})")
+            .drop("_f")
+        )
+        added_files: list[str] = []
+        lineage: list[dict] = []
+        after = 0
+        if not kept.isEmpty():
+            added_files, lineage = self._write_files(kept, "rw", partition_by=pcol)
+            after = sum(x["rows"] for x in lineage)
+        self._commit(
+            {
+                "op": "delete",
+                "batch_id": None,
+                "partition_by": pcol,
+                "predicate": predicate,
+                "added_files": added_files,
+                "removed_files": affected,
+                "row_count": after,
+                "rows_affected": before - after,
+                "lineage": lineage,
+            }
+        )
+        return before - after
+
+    def truncate(self) -> None:
+        """S9: drop all data (handle_delete_database,
+        otel-worker-cli/src/commands/system/database.rs:29-42)."""
+        self._commit(
+            {
+                "op": "truncate",
+                "batch_id": None,
+                "added_files": [],
+                "removed_files": self.live_files(),
+                "row_count": 0,
+            }
+        )
+
+    # ---- metrics / lineage ----
+
+    def lineage(self) -> list[dict]:
+        """Per-commit, per-file row counts + timestamps (checkpoint/
+        lineage table of the north rule)."""
+        return [
+            {
+                "seq": e["seq"],
+                "batch_id": e.get("batch_id"),
+                "op": e["op"],
+                "rows": e.get("row_count", 0),
+                "committed_at": e["committed_at"],
+                "files": e.get("lineage", []),
+            }
+            for e in self._entries()
+        ]

@@ -1,0 +1,64 @@
+"""Structured Streaming ingestion (SURVEY §2.9).
+
+The reference is an always-on ingest server with no windows or
+watermarks — each export request is applied immediately and a
+``SpanAdded`` notification is broadcast after commit
+(service.rs:47-49; tokio broadcast at otel-worker-cli/src/events.rs:
+8-42, Durable-Object websocket hub at otel-worker/src/ws/worker.rs).
+
+Spark equivalent: ``readStream`` over the token table directory,
+``foreachBatch`` running the SAME ``ingest_batch`` the batch path
+uses (one engine core, thin protocol adapters — the reference's own
+shape, SURVEY §3.3). Exactly-once comes from two layers:
+
+- Spark's streaming checkpoint replays an unfinished micro-batch
+  after a crash;
+- our sinks are idempotent by batch_id, so the replayed batch lands
+  zero duplicate rows and re-emits the original receipt.
+
+The SpanAdded manifest table IS the notification stream: subscribers
+(the CLI debug client / MCP server in the reference) become readers
+tailing that table by batch_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .pipeline import PipelineStores, ingest_batch
+from .schemas import TOKEN_SEQUENCES_SCHEMA
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    service_lookup: DataFrame,
+    stores: PipelineStores,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming ingest over a directory of token parquet.
+
+    ``available_now`` drains everything currently present then stops —
+    batch-incremental mode; pass False for a continuous micro-batch
+    stream. Returns the StreamingQuery.
+    """
+    reader = (
+        spark.readStream.schema(TOKEN_SEQUENCES_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    token_stream = reader.load(source_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_batch(spark, batch_df, service_lookup, stores, batch_id=epoch_id)
+
+    writer = (
+        token_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
