@@ -177,6 +177,48 @@ def token_sequences_from_events(
     )
 
 
+#: SpanKind / status mappings as shared CASE SQL (P5/P6 oracle side)
+KIND_STR = (
+    "CASE event_id % 6 WHEN 0 THEN 'Unspecified' WHEN 1 THEN 'Internal' "
+    "WHEN 2 THEN 'Server' WHEN 3 THEN 'Client' WHEN 4 THEN 'Producer' "
+    "WHEN 5 THEN 'Consumer' END"
+)
+STATUS_STR = "CASE WHEN event_type = 'error' THEN 'Error' ELSE 'Ok' END"
+
+
+def parsed_spans_sql() -> str:
+    """DuckDB oracle: the columns the Spark pipeline produces for every
+    VALID parsed span, derived directly from ``events`` — used as a CTE
+    by the driver's correctness queries. Timestamps are emitted as
+    fixed-format UTC strings so hashing is engine-neutral.
+
+    The payload itself is ASCII by construction, so
+    ``length(payload) == octet_length == n_tok``.
+    """
+    d = lambda s: render(s, "duckdb")
+    return f"""
+SELECT {d(DOC_ID)} AS doc_id,
+       {d(SERVICE)} AS source,
+       length({d(payload_sql('duckdb'))}) AS n_tok,
+       {d(TRACE_ID_RAW)} AS trace_id,
+       {d(SPAN_ID)} AS span_id,
+       CASE WHEN event_id % 10 = 0 THEN NULL ELSE {d(ROOT_SPAN_ID)} END AS parent_span_id,
+       {d(NAME)} AS name,
+       {KIND_STR} AS kind,
+       {d(SEVERITY)} AS severity,
+       {d(SERVICE)} AS service_name,
+       event_id % 256 AS flags,
+       {STATUS_STR} AS status_code,
+       {d(STATUS_MESSAGE)} AS status_message,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(ts + to_microseconds(CAST(floor(value * 1000000) AS BIGINT)), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+       ts + to_microseconds(CAST(floor(value * 1000000) AS BIGINT)) AS end_time,
+       {d(SIGNAL)} AS signal
+FROM events
+WHERE event_id % 97 <> 0
+"""
+
+
 # ---- broadcast-enrich dimension (J2 / FIXTURES.md §4) ----------------------
 
 
@@ -201,12 +243,12 @@ def service_lookup_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def service_lookup_values_sql() -> str:
+def service_lookup_values_sql(alias: str = "service_lookup") -> str:
     """Same dimension as a SQL VALUES list (for the DuckDB oracle)."""
     vals = ", ".join(
         "('{}', '{}', '{}', '{}')".format(*r) for r in service_lookup_rows()
     )
-    return f"(VALUES {vals}) AS service_lookup(service_name, team, tier, environment)"
+    return f"(VALUES {vals}) AS {alias}(service_name, team, tier, environment)"
 
 
 # ---- the reference's own golden artifact -----------------------------------

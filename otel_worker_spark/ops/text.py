@@ -1,0 +1,144 @@
+"""Text analysis over the ``documents`` table: quality scoring,
+token counting, language ID, document fingerprinting.
+
+All Spark-side logic is built-in expressions (split/filter/aggregate
+HOFs — JVM-side, codegen'd); every op has a matching DuckDB oracle in
+this file. Scale notes: each op is a narrow map over one partition —
+no shuffle at all; they pipeline with any downstream groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .common import MERSENNE31
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: marker words per language for the n-gram/stopword language-ID
+#: heuristic (deterministic, tiny — a real deployment would plug in a
+#: fastText-style model via mapInPandas; the *plumbing* is identical).
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "la"),
+    "zh": ("zh",),
+}
+
+
+def _tokens_expr(col: str) -> str:
+    return f"split(trim({col}), '\\\\s+')"
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality stats: token count, distinct-token count,
+    mean token length, stopword ratio, alnum ratio, and a composite
+    quality score. Ratios are floor-scaled ints (×1000) so the oracle
+    matches bit-for-bit."""
+    toks = _tokens_expr("text")
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_m"),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_distinct_tokens"),
+        F.expr(
+            f"CAST(floor(1000.0 * size(filter({toks}, t -> t IN {STOPWORDS})) / size({toks})) AS INT)"
+        ).alias("stopword_ratio_m"),
+        F.expr(
+            f"CAST(floor(1000.0 * length(regexp_replace(text, '[^a-z0-9]', '')) / length(text)) AS INT)"
+        ).alias("alnum_ratio_m"),
+        F.expr(
+            f"CAST(floor(1000.0 * size(array_distinct({toks})) / size({toks})) AS INT)"
+        ).alias("distinct_ratio_m"),
+    )
+
+
+def text_stats_sql() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    stop = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return f"""
+SELECT doc_id,
+       lang,
+       source,
+       length(text) AS n_chars_m,
+       len({toks}) AS n_tokens,
+       len(list_distinct({toks})) AS n_distinct_tokens,
+       CAST(floor(1000.0 * len(list_filter({toks}, t -> t IN {stop})) / len({toks})) AS INT) AS stopword_ratio_m,
+       CAST(floor(1000.0 * length(regexp_replace(text, '[^a-z0-9]', '', 'g')) / length(text)) AS INT) AS alnum_ratio_m,
+       CAST(floor(1000.0 * len(list_distinct({toks})) / len({toks})) AS INT) AS distinct_ratio_m
+FROM documents
+"""
+
+
+def _marker_list_sql(markers: tuple[str, ...]) -> str:
+    return "(" + ", ".join(repr(m) for m in markers) + ")"
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language,
+    argmax with deterministic (alphabetical) tiebreak — expressed as
+    greatest() + an alphabetically-ordered CASE so the oracle SQL is
+    a verbatim mirror."""
+    toks = _tokens_expr("text")
+    langs = sorted(LANG_MARKERS)
+    scores = {
+        lang: f"size(filter({toks}, t -> t IN {_marker_list_sql(LANG_MARKERS[lang])}))"
+        for lang in langs
+    }
+    scored = documents.select(
+        "doc_id", "lang", *[F.expr(e).alias(f"score_{l}") for l, e in scores.items()]
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN score_{l} = {best} THEN '{l}'" for l in langs) + " END"
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.expr(case).alias("predicted_lang"),
+        F.expr(best).alias("marker_hits"),
+    )
+
+
+def lang_id_sql() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    langs = sorted(LANG_MARKERS)
+    scores = {
+        lang: f"len(list_filter({toks}, t -> t IN {_marker_list_sql(LANG_MARKERS[lang])}))"
+        for lang in langs
+    }
+    select_scores = ", ".join(f"{e} AS score_{l}" for l, e in scores.items())
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN score_{l} = {best} THEN '{l}'" for l in langs) + " END"
+    return f"""
+SELECT doc_id, lang, {case} AS predicted_lang, {best} AS marker_hits
+FROM (SELECT doc_id, lang, {select_scores} FROM documents) t
+"""
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over codepoints,
+    mod 2^31-1 (a Rabin-Karp-style content fingerprint). Sequential
+    left fold in both engines → bit-identical."""
+    chars = "filter(split(text, ''), c -> c <> '')"
+    return documents.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform({chars}, c -> ascii(c)), CAST(0 AS BIGINT),"
+            f" (acc, x) -> (acc * 31 + x) % {MERSENNE31})"
+        ).alias("fingerprint"),
+    )
+
+
+def fingerprint_sql() -> str:
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [CAST(unicode(substr(text, i, 1)) AS BIGINT) for i in range(1, length(text) + 1)]),
+         (acc, x) -> (acc * 31 + x) % {MERSENNE31}
+       ) AS fingerprint
+FROM documents
+"""

@@ -60,10 +60,14 @@ def _nanos_to_ts(nanos_str: Column) -> Column:
 
     ``try_cast`` so an out-of-i64-range value (where the reference
     panics, otel.rs:15) nulls out and quarantines instead of killing
-    the job under ANSI mode.
+    the job under ANSI mode. The ns→µs step divides as DECIMAL, not
+    DOUBLE: epoch nanos ≈ 1.7e18 exceed a double's 53-bit exact
+    integer range, and float division here silently perturbs
+    timestamps by ±1 µs.
     """
     ns = nanos_str.try_cast("long")
-    return F.timestamp_micros(F.floor(ns / 1000).try_cast("long"))
+    us = F.floor(ns.cast("decimal(30,0)") / 1000).try_cast("long")
+    return F.timestamp_micros(us)
 
 
 def _hex_id(c: Column) -> Column:

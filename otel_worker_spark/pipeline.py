@@ -40,12 +40,20 @@ class PipelineStores:
         return self.spans.read(partition=signal)
 
 
-def transform_batch(token_df: DataFrame, service_lookup: DataFrame, depth: int = 3) -> DataFrame:
+def transform_batch(
+    token_df: DataFrame,
+    service_lookup: DataFrame,
+    depth: int = 3,
+    with_inner: bool = True,
+) -> DataFrame:
     """The pure transformation: token sequences → routed span rows
     (+ quarantine rows flagged by is_valid). No I/O, reusable by
     batch jobs, the streaming wrapper, and tests alike — the
-    reference's one-engine/thin-adapters shape (SURVEY §3.3)."""
-    parsed = parse_token_sequences(token_df, depth=depth)
+    reference's one-engine/thin-adapters shape (SURVEY §3.3).
+    ``with_inner=False`` skips building the ``inner`` JSON column for
+    read paths that don't need it (column pruning can't elide a
+    projected expression)."""
+    parsed = parse_token_sequences(token_df, depth=depth, with_inner=with_inner)
     enriched = enrich_spans(parsed, service_lookup)
     return enriched.withColumn(
         "signal",

@@ -1,0 +1,576 @@
+"""The driver-facing query registry: every implemented operator from
+SURVEY.md §2 (plus the training-data ops) as a (Spark callable,
+DuckDB oracle SQL) pair.
+
+Three families:
+
+1. ``pipeline_*`` — run the REAL engine: derive token sequences from
+   the driver's ``events`` table, push them through tokenize →
+   detokenize (pandas UDF) → from_json → explode → normalize →
+   enrich → route, then query the result. The oracle computes the
+   same answers DIRECTLY from ``events`` (fixtures.parsed_spans_sql),
+   so a value-hash match proves the whole parse/route path —
+   including payload byte equality — end to end.
+2. ``rel_*`` — the relational operator inventory (agg, top-k,
+   broadcast joins, semi/anti, window, distinct) over the TPC-H-ish
+   tables. Money sums use exact cents (BIGINT) so Spark's unordered
+   double summation cannot diverge from the oracle.
+3. ``dedup_* / text_* / ann_*`` — the training-data ops; oracles live
+   next to each op in ``ops/``.
+
+Timestamps cross the comparison boundary as fixed-format UTC strings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .enrich import enrich_spans
+from .fixtures import (
+    parsed_spans_sql,
+    service_lookup_df,
+    service_lookup_values_sql,
+    token_sequences_from_events,
+)
+from .ops import dedup as dd
+from .ops import multimodal as mm
+from .ops import similarity as sim
+from .ops import text as tx
+from .pipeline import transform_batch
+from .queries import traces_list
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TIME_CUTOFF = "2024-01-15 00:00:00"
+
+#: F1 point-lookup literals for the event_id=1 span, computed once
+#: (the same md5 derivation the fixture recipe uses)
+LOOKUP_SPAN_ID = hashlib.md5(b"span-1").hexdigest()[:16]
+LOOKUP_TRACE_ID = hashlib.md5(b"trace-0").hexdigest()
+
+
+def _fmt(col: str, alias: str) -> F.Column:
+    return F.date_format(col, TS_FMT).alias(alias)
+
+
+# --------------------------------------------------------------- pipeline
+
+
+def _spans(spark: SparkSession, sf_dir: str, with_inner: bool = False) -> DataFrame:
+    """events → token table → the full parse/enrich/route pipeline."""
+    tok = token_sequences_from_events(spark, sf_dir)
+    return transform_batch(tok, service_lookup_df(spark), with_inner=with_inner)
+
+
+def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spans(spark, sf_dir).filter("signal != 'quarantine'")
+
+
+def pipeline_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P16 + routing, full typed output for every valid span."""
+    return _valid(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        "severity",
+        "service_name",
+        "flags",
+        "status_code",
+        "status_message",
+        _fmt("start_time", "start_ts"),
+        _fmt("end_time", "end_ts"),
+        "signal",
+    )
+
+
+def pipeline_parse_spans_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()})
+SELECT doc_id, source, n_tok, trace_id, span_id, parent_span_id, name, kind,
+       severity, service_name, flags, status_code, status_message,
+       start_ts, end_ts, signal
+FROM spans
+"""
+
+
+def pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 quarantine path: the poison rows, with reasons."""
+    return (
+        _spans(spark, sf_dir)
+        .filter("signal = 'quarantine'")
+        .select("doc_id", "invalid_reason")
+    )
+
+
+def pipeline_quarantine_sql() -> str:
+    return """
+SELECT 'evt-' || CAST(event_id AS VARCHAR) AS doc_id,
+       'invalid_trace_id' AS invalid_reason
+FROM events WHERE event_id % 97 = 0
+"""
+
+
+def pipeline_traces_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+O1: the reference's traces_list (GROUP BY + MAX + top-k)."""
+    top = traces_list(_valid(spark, sf_dir), limit=20)
+    return top.select("trace_id", _fmt("end_time", "end_ts"))
+
+
+def pipeline_traces_list_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()})
+SELECT trace_id, strftime(max(end_time), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+FROM spans GROUP BY trace_id
+ORDER BY max(end_time) DESC, trace_id DESC LIMIT 20
+"""
+
+
+def pipeline_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: traces_list with the optional end_time <= t cutoff."""
+    top = traces_list(_valid(spark, sf_dir), limit=20, time=TIME_CUTOFF)
+    return top.select("trace_id", _fmt("end_time", "end_ts"))
+
+
+def pipeline_time_filter_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()})
+SELECT trace_id, strftime(max(end_time), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+FROM spans WHERE end_time <= TIMESTAMP '{TIME_CUTOFF}'
+GROUP BY trace_id ORDER BY max(end_time) DESC, trace_id DESC LIMIT 20
+"""
+
+
+def pipeline_trace_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A2: top-5 traces, spans broadcast-semi-joined + collected
+    (span list emitted as a deterministic string for hashing)."""
+    spans = _valid(spark, sf_dir)
+    top = traces_list(spans, limit=5)
+    picked = spans.join(F.broadcast(top.select("trace_id")), "trace_id", "left_semi")
+    return (
+        picked.groupBy("trace_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.array_join(F.array_sort(F.collect_list("span_id")), ",").alias("span_ids"),
+        )
+    )
+
+
+def pipeline_trace_summaries_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()}),
+top AS (
+  SELECT trace_id FROM spans GROUP BY trace_id
+  ORDER BY max(end_time) DESC, trace_id DESC LIMIT 5
+)
+SELECT s.trace_id, count(*) AS n_spans,
+       string_agg(s.span_id, ',' ORDER BY s.span_id) AS span_ids
+FROM spans s JOIN top USING (trace_id)
+GROUP BY s.trace_id
+"""
+
+
+def pipeline_span_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: two-column point lookup (sql.rs:32-34)."""
+    return (
+        _valid(spark, sf_dir)
+        .where(
+            (F.col("trace_id") == LOOKUP_TRACE_ID) & (F.col("span_id") == LOOKUP_SPAN_ID)
+        )
+        .select("trace_id", "span_id", "name", "kind", _fmt("start_time", "start_ts"))
+    )
+
+
+def pipeline_span_lookup_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()})
+SELECT trace_id, span_id, name, kind, start_ts
+FROM spans WHERE trace_id = '{LOOKUP_TRACE_ID}' AND span_id = '{LOOKUP_SPAN_ID}'
+"""
+
+
+def pipeline_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast enrich against the service dimension + rollup."""
+    return (
+        _valid(spark, sf_dir)
+        .groupBy("team", "tier")
+        .agg(F.count("*").alias("n_spans"), F.sum("n_tok").alias("sum_n_tok"))
+    )
+
+
+def pipeline_enrich_agg_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()})
+SELECT l.team, l.tier, count(*) AS n_spans, CAST(sum(s.n_tok) AS BIGINT) AS sum_n_tok
+FROM spans s LEFT JOIN {service_lookup_values_sql('l')}
+  ON s.service_name = l.service_name
+GROUP BY l.team, l.tier
+"""
+
+
+def pipeline_route_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: the per-sink count + sum receipt aggregates."""
+    return (
+        _valid(spark, sf_dir)
+        .groupBy(F.col("signal").alias("sink"))
+        .agg(F.count("*").alias("row_count"), F.sum("n_tok").alias("sum_n_tok"))
+    )
+
+
+def pipeline_route_receipts_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()})
+SELECT signal AS sink, count(*) AS row_count, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+FROM spans GROUP BY signal
+"""
+
+
+def pipeline_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the trace-tree self-join (child → parent within a trace)."""
+    spans = _valid(spark, sf_dir)
+    child = spans.where(F.col("parent_span_id").isNotNull()).select(
+        "trace_id",
+        F.col("span_id").alias("child_span_id"),
+        "parent_span_id",
+        F.col("name").alias("child_name"),
+    )
+    parent = spans.select(
+        "trace_id",
+        F.col("span_id").alias("parent_span_id"),
+        F.col("name").alias("parent_name"),
+    )
+    return child.join(parent, ["trace_id", "parent_span_id"]).select(
+        "trace_id", "child_span_id", "child_name", "parent_span_id", "parent_name"
+    )
+
+
+def pipeline_parent_child_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()})
+SELECT c.trace_id, c.span_id AS child_span_id, c.name AS child_name,
+       c.parent_span_id, p.name AS parent_name
+FROM spans c JOIN spans p
+  ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+"""
+
+
+def pipeline_severity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style histogram on an extracted attribute column."""
+    return (
+        _valid(spark, sf_dir)
+        .groupBy("severity", "status_code")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def pipeline_severity_hist_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()})
+SELECT severity, status_code, count(*) AS n FROM spans GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- relational
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str) -> F.Column:
+    return F.expr(f"CAST(round(100 * {col}) AS BIGINT)")
+
+
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → partial/final hash agg. Exact
+    cents arithmetic keeps double-sum ordering out of the result."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_c"),
+            F.sum(
+                _cents("l_extendedprice") * (100 - _cents("l_discount"))
+            ).alias("sum_disc_price_c4"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def rel_pricing_summary_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(100 * l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(100 * l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(round(100 * l_extendedprice) AS BIGINT)
+           * (100 - CAST(round(100 * l_discount) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def rel_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: TakeOrderedAndProject (no global sort) with tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", _cents("o_totalprice").alias("totalprice_c"))
+        .orderBy(F.desc("totalprice_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def rel_topk_orders_sql() -> str:
+    return """
+SELECT o_orderkey, o_custkey, CAST(round(100 * o_totalprice) AS BIGINT) AS totalprice_c
+FROM orders ORDER BY totalprice_c DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def rel_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join chain: fact ⨝ two small dims, then agg — the
+    dims broadcast, zero shuffle until the final group-by."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_cents("c_acctbal")).alias("acctbal_c"),
+        )
+    )
+
+
+def rel_join_chain_sql() -> str:
+    return """
+SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(sum(CAST(round(100 * c_acctbal) AS BIGINT)) AS BIGINT) AS acctbal_c
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no orders since 2000,
+    per nation (the filter makes the anti side non-empty)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2000-01-01")
+    n = _t(spark, sf_dir, "nation")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(n), no_orders.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def rel_anti_join_sql() -> str:
+    return """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+"""
+
+
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): parts that appear in lineitem."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+def rel_semi_join_sql() -> str:
+    return """
+SELECT p_brand, count(*) AS n_parts
+FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+def rel_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per group: 2 biggest orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("totalprice_c"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", _cents("o_totalprice").alias("totalprice_c"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+    )
+
+
+def rel_window_topn_sql() -> str:
+    return """
+SELECT o_custkey, o_orderkey, totalprice_c, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS totalprice_c,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(round(100 * o_totalprice) AS BIGINT) DESC,
+                                     o_orderkey ASC) AS rank
+  FROM orders
+) t WHERE rank <= 2
+"""
+
+
+def rel_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain count per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def rel_distinct_agg_sql() -> str:
+    return """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def rel_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregate over the event stream table (the batch
+    twin of a streaming windowed agg): daily counts + exact value
+    cents by event_type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts").cast("timestamp")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum(_cents("value")).alias("value_c"))
+    )
+
+
+def rel_events_window_agg_sql() -> str:
+    return """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, CAST(sum(CAST(round(100 * value) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------- ops wrappers
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # pipeline (SURVEY §2.1-2.6 over the real engine)
+        "pipeline_parse_spans": pipeline_parse_spans,
+        "pipeline_quarantine": pipeline_quarantine,
+        "pipeline_traces_list": pipeline_traces_list,
+        "pipeline_time_filter": pipeline_time_filter,
+        "pipeline_trace_summaries": pipeline_trace_summaries,
+        "pipeline_span_lookup": pipeline_span_lookup,
+        "pipeline_enrich_agg": pipeline_enrich_agg,
+        "pipeline_route_receipts": pipeline_route_receipts,
+        "pipeline_parent_child": pipeline_parent_child,
+        "pipeline_severity_hist": pipeline_severity_hist,
+        # relational inventory
+        "rel_pricing_summary": rel_pricing_summary,
+        "rel_topk_orders": rel_topk_orders,
+        "rel_join_chain": rel_join_chain,
+        "rel_anti_join": rel_anti_join,
+        "rel_semi_join": rel_semi_join,
+        "rel_window_topn": rel_window_topn,
+        "rel_distinct_agg": rel_distinct_agg,
+        "rel_events_window_agg": rel_events_window_agg,
+        # training-data ops
+        "dedup_exact": lambda s, d: dd.dedup_exact(_docs(s, d)),
+        "dedup_minhash_sig": lambda s, d: dd.minhash_signatures_flat(_docs(s, d)),
+        "dedup_minhash_lsh_pairs": lambda s, d: dd.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dd.simhash(_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: dd.simhash_near_pairs(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
+        "text_stats": lambda s, d: tx.text_stats(_docs(s, d)),
+        "text_lang_id": lambda s, d: tx.lang_id(_docs(s, d)),
+        "text_fingerprint": lambda s, d: tx.fingerprint(_docs(s, d)),
+        "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
+        "ann_lsh_bucket_stats": lambda s, d: sim.lsh_bucket_stats(_embs(s, d)),
+        "ann_embedding_near_dup": lambda s, d: sim.embedding_near_dup(_embs(s, d)),
+        # multimodal plumbing (mapInPandas; rows-only check — the fake
+        # decode is Python-side, deliberately not SQL-expressible)
+        "multimodal_features": lambda s, d: mm.media_feature_summary(_docs(s, d)),
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pipeline_parse_spans": pipeline_parse_spans_sql(),
+        "pipeline_quarantine": pipeline_quarantine_sql(),
+        "pipeline_traces_list": pipeline_traces_list_sql(),
+        "pipeline_time_filter": pipeline_time_filter_sql(),
+        "pipeline_trace_summaries": pipeline_trace_summaries_sql(),
+        "pipeline_span_lookup": pipeline_span_lookup_sql(),
+        "pipeline_enrich_agg": pipeline_enrich_agg_sql(),
+        "pipeline_route_receipts": pipeline_route_receipts_sql(),
+        "pipeline_parent_child": pipeline_parent_child_sql(),
+        "pipeline_severity_hist": pipeline_severity_hist_sql(),
+        "rel_pricing_summary": rel_pricing_summary_sql(),
+        "rel_topk_orders": rel_topk_orders_sql(),
+        "rel_join_chain": rel_join_chain_sql(),
+        "rel_anti_join": rel_anti_join_sql(),
+        "rel_semi_join": rel_semi_join_sql(),
+        "rel_window_topn": rel_window_topn_sql(),
+        "rel_distinct_agg": rel_distinct_agg_sql(),
+        "rel_events_window_agg": rel_events_window_agg_sql(),
+        "dedup_exact": dd.dedup_exact_sql(),
+        "dedup_minhash_sig": dd.minhash_signatures_flat_sql(),
+        "dedup_minhash_lsh_pairs": dd.minhash_lsh_pairs_sql(),
+        "dedup_simhash": dd.simhash_sql(),
+        "dedup_simhash_pairs": dd.simhash_near_pairs_sql(),
+        "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql(),
+        "text_stats": tx.text_stats_sql(),
+        "text_lang_id": tx.lang_id_sql(),
+        "text_fingerprint": tx.fingerprint_sql(),
+        "ann_cosine_topk": sim.cosine_topk_sql(),
+        "ann_lsh_bucket_stats": sim.lsh_bucket_stats_sql(),
+        "ann_embedding_near_dup": sim.embedding_near_dup_sql(),
+        # multimodal_features: intentionally omitted (rows-only check)
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the full parse → enrich → route → aggregate pipeline
+    over sf0.001, returning the per-sink receipt aggregate joined with
+    the per-team enrichment rollup."""
+    sf_dir = "/root/testdata/sf0.001"
+    valid = _valid(spark, sf_dir)
+    receipts = valid.groupBy("signal").agg(
+        F.count("*").alias("row_count"),
+        F.sum("n_tok").alias("sum_n_tok"),
+        F.countDistinct("trace_id").alias("n_traces"),
+    )
+    return receipts.orderBy("signal")
