@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .schemas import ANYVALUE_DEPTH, SPAN_KINDS, STATUS_CODES, otlp_envelope_schema
-from .serialize import attrs_to_map, json_unquote, span_inner_json
+from .serialize import attrs_to_map, span_inner_json
 from .tokens import detokenize_expr, detokenize_udf
 
 HEX_RE = r"^([0-9a-f]{2})+$"
@@ -127,6 +127,20 @@ def parse_token_sequences(
         ),
     )
 
+    # Routing keys extracted from the RAW parsed arrays, not the
+    # JSON-encoded maps: CollapseProject would otherwise inline
+    # (= recompute) the entire attrs_to_map expression per consumer.
+    # F.get (not [0]) — ANSI mode makes [0] on an empty array fatal
+    severity = F.get(
+        F.filter(sp["attributes"], lambda kv: kv["key"] == F.lit("severity")), 0
+    )["value"]["stringValue"]
+    service_name = F.get(
+        F.filter(
+            F.col("_rs.resource.attributes"), lambda kv: kv["key"] == F.lit("service.name")
+        ),
+        0,
+    )["value"]["stringValue"]
+
     out = parsed.select(
         _hex_id(sp["traceId"]).alias("trace_id"),
         _hex_id(sp["spanId"]).alias("span_id"),
@@ -146,18 +160,14 @@ def parse_token_sequences(
         resource_attrs.alias("resource_attributes"),
         events.alias("events"),
         links.alias("links"),
+        severity.alias("severity"),
+        service_name.alias("service_name"),
         F.col("doc_id"),
         F.col("tokens"),
         F.col("n_tok"),
         F.col("source"),
         F.isnull("_env").alias("_decode_failed"),
     )
-
-    # Denormalized convenience columns the routing stage keys on
-    # (severity for logs, service.name for the broadcast enrich — J2).
-    out = out.withColumn(
-        "severity", json_unquote(F.col("attributes")["severity"])
-    ).withColumn("service_name", json_unquote(F.col("resource_attributes")["service.name"]))
 
     invalid_reason = (
         F.when(F.col("_decode_failed"), F.lit("undecodable_payload"))
@@ -175,7 +185,9 @@ def parse_token_sequences(
 
     if with_inner:
         cols = {name: F.col(name) for name in out.columns}
-        out = out.withColumn("inner", span_inner_json(cols))
+        out = out.withColumn(
+            "inner", F.when(F.col("is_valid"), span_inner_json(cols))
+        )
     else:
         out = out.withColumn("inner", F.lit(None).cast("string"))
     return out

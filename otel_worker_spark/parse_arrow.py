@@ -1,0 +1,368 @@
+"""The Arrow parse engine: the whole parse stage in one mapInPandas
+kernel — the north rule's prescribed shape ("vectorized pandas/Arrow
+UDFs perform grok/regex-style parsing of serialized OTLP-like
+payloads reconstructed from token arrays, extract trace_id / span_id /
+severity / resource attributes into typed columns").
+
+Contract: produces EXACTLY the same columns/values as the Catalyst
+engine in ``parse.py`` (``tests/test_parse_engines.py`` asserts
+frame equality row by row). Differences are purely physical:
+
+- one Python/Arrow stage instead of a ~10^3-node Catalyst expression
+  tree (which falls out of whole-stage codegen by sheer size and ends
+  up interpreted);
+- attribute-map sorting, untagged AnyValue encoding and the ``inner``
+  JSON come from ``json.dumps(..., sort_keys=True)`` — byte-compatible
+  with serialize.py's expressions by construction;
+- per-batch amortized: tokens → numpy bytes view → json.loads →
+  flatten loops, no Spark-side explode needed (the kernel emits one
+  output row per span).
+
+Both engines stay maintained: ``parse.parse_token_sequences`` is the
+pure-Catalyst declarative plan; this kernel is the measured-faster
+hot path (see bench.py) and the drop-in point for a real grok/regex
+stage. Scale characteristics: a narrow map, no shuffle, Arrow batch
+size bounds memory; Python worker parallelism = task parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .schemas import SPAN_KINDS, STATUS_CODES
+
+HEX_CHARS = set("0123456789abcdef")
+
+OUTPUT_SCHEMA = """
+    trace_id string, span_id string, parent_span_id string, name string,
+    kind string, start_time timestamp, end_time timestamp,
+    trace_state string, flags long, scope_name string, scope_version string,
+    status_code string, status_message string,
+    attributes map<string,string>, scope_attributes map<string,string>,
+    resource_attributes map<string,string>,
+    events array<struct<name:string,timestamp:timestamp,attributes:map<string,string>>>,
+    links array<struct<trace_id:string,span_id:string,trace_state:string,
+                       attributes:map<string,string>,flags:long>>,
+    severity string, service_name string,
+    doc_id string, tokens array<int>, n_tok int, source string,
+    is_valid boolean, invalid_reason string, inner string
+"""
+
+
+def _anyvalue(v: dict | None):
+    """OTLP/JSON AnyValue → native Python (the untagged API encoding),
+    mirroring From<any_value::Value> for AttributeValue
+    (otel-worker-core/src/api/models/otel.rs:269-292)."""
+    if not isinstance(v, dict):
+        return None
+    if "stringValue" in v:
+        return v["stringValue"]
+    if "boolValue" in v:
+        return v["boolValue"]
+    if "intValue" in v:
+        try:
+            return int(v["intValue"])
+        except (TypeError, ValueError):
+            return None
+    if "doubleValue" in v:
+        return v["doubleValue"]
+    if "bytesValue" in v:
+        import base64
+
+        try:
+            return list(base64.b64decode(v["bytesValue"]))
+        except Exception:
+            return None
+    if "arrayValue" in v:
+        return [_anyvalue(x) for x in (v["arrayValue"] or {}).get("values") or []]
+    if "kvlistValue" in v:
+        return _attrs_native((v["kvlistValue"] or {}).get("values"))
+    return None
+
+
+def _attrs_native(attrs: list | None) -> dict | None:
+    """KeyValue list → key-sorted dict of native values (BTreeMap)."""
+    if attrs is None:
+        return None
+    out = {}
+    for kv in attrs:
+        if isinstance(kv, dict) and "key" in kv:
+            out[str(kv["key"])] = _anyvalue(kv.get("value"))
+    return dict(sorted(out.items()))
+
+
+def _attrs_jsonmap(native: dict | None) -> dict | None:
+    """Native attr dict → map<string, json-string> (engine column form)."""
+    if native is None:
+        return None
+    return {
+        k: json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        for k, v in native.items()
+    }
+
+
+def _hex_id(s) -> str | None:
+    if not isinstance(s, str) or s == "":
+        return None
+    return s.lower()
+
+
+def _valid_hex(s: str | None) -> bool:
+    return s is not None and len(s) % 2 == 0 and len(s) > 0 and set(s) <= HEX_CHARS
+
+
+def _nanos_ts(v) -> datetime | None:
+    """Decimal-string nanos → naive-UTC datetime at µs precision (P2).
+
+    Floor division like the SQL engine's DECIMAL path. Values whose
+    µs instant falls outside Python's datetime range (year 1..9999)
+    quarantine here although Spark's TimestampType could hold a few
+    more millennia — irrelevant in practice, noted for parity."""
+    if isinstance(v, float) or v is None:
+        return None
+    try:
+        ns = int(v)
+    except (TypeError, ValueError):
+        return None
+    if not (-(2**63) < ns < 2**63):
+        return None
+    try:
+        return datetime(1970, 1, 1) + timedelta(microseconds=ns // 1000)
+    except OverflowError:
+        return None
+
+
+def _rfc3339(dt: datetime | None) -> str | None:
+    if dt is None:
+        return None
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+
+
+def parse_token_sequences_arrow(df: DataFrame, with_inner: bool = True) -> DataFrame:
+    """Arrow-engine twin of ``parse.parse_token_sequences``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens, n_tok, source in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["n_tok"], pdf["source"]
+            ):
+                rows.extend(
+                    _parse_one(doc_id, tokens, n_tok, source, with_inner)
+                )
+            yield pd.DataFrame(rows, columns=_COLUMNS)
+
+    return df.mapInPandas(kernel, schema=OUTPUT_SCHEMA)
+
+
+_COLUMNS = [
+    "trace_id", "span_id", "parent_span_id", "name", "kind", "start_time",
+    "end_time", "trace_state", "flags", "scope_name", "scope_version",
+    "status_code", "status_message", "attributes", "scope_attributes",
+    "resource_attributes", "events", "links", "severity", "service_name",
+    "doc_id", "tokens", "n_tok", "source", "is_valid", "invalid_reason",
+    "inner",
+]
+
+
+def _null_row(doc_id, tokens, n_tok, source, reason):
+    base = dict.fromkeys(_COLUMNS)
+    base.update(
+        doc_id=doc_id, tokens=tokens, n_tok=n_tok, source=source,
+        is_valid=False, invalid_reason=reason,
+        # the SQL engine's kind decode coalesces null → Unspecified
+        # (data/models.rs:58) even on all-null quarantine rows
+        kind="Unspecified",
+    )
+    return [base]
+
+
+def _parse_one(doc_id, tokens, n_tok, source, with_inner) -> list[dict]:
+    # detokenize (identity byte vocab)
+    try:
+        arr = np.asarray(tokens, dtype=np.int64)
+        if arr.size and (arr.min() < 0 or arr.max() > 255):
+            raise ValueError
+        payload = arr.astype(np.uint8).tobytes().decode("utf-8")
+    except (ValueError, UnicodeDecodeError, TypeError):
+        return _null_row(doc_id, tokens, n_tok, source, "undecodable_payload")
+
+    # JSON-shape failures mirror the SQL engine: from_json PERMISSIVE
+    # yields a null-field struct, the explode_outer chain emits one
+    # null-span row, and the reason chain reports invalid_trace_id.
+    # Only token/UTF-8 failures are "undecodable_payload".
+    try:
+        env = json.loads(payload)
+    except ValueError:
+        env = None
+    resource_spans = env.get("resourceSpans") if isinstance(env, dict) else None
+    if not isinstance(resource_spans, list):
+        resource_spans = []
+
+    out: list[dict] = []
+    for rs in resource_spans:
+        if not isinstance(rs, dict):
+            continue
+        res_native = _attrs_native((rs.get("resource") or {}).get("attributes"))
+        res_map = _attrs_jsonmap(res_native)
+        service_name = None
+        if res_native and isinstance(res_native.get("service.name"), str):
+            service_name = res_native["service.name"]
+        for ss in rs.get("scopeSpans") or []:
+            scope = ss.get("scope") or {}
+            scope_native = _attrs_native(scope.get("attributes"))
+            for sp in ss.get("spans") or []:
+                out.append(
+                    _span_row(
+                        sp, scope, scope_native, res_native, res_map,
+                        service_name, doc_id, tokens, n_tok, source, with_inner,
+                    )
+                )
+    if not out:
+        # an envelope that decodes but contains no spans: the explode
+        # engine emits one null-span row (explode_outer) — match it
+        return _null_row(doc_id, tokens, n_tok, source, "invalid_trace_id")
+    return out
+
+
+def _span_row(
+    sp, scope, scope_native, res_native, res_map, service_name,
+    doc_id, tokens, n_tok, source, with_inner,
+) -> dict:
+    attrs_native = _attrs_native(sp.get("attributes"))
+    trace_id = _hex_id(sp.get("traceId"))
+    span_id = _hex_id(sp.get("spanId"))
+    parent = _hex_id(sp.get("parentSpanId"))
+    start = _nanos_ts(sp.get("startTimeUnixNano"))
+    end = _nanos_ts(sp.get("endTimeUnixNano"))
+    kind = SPAN_KINDS.get(sp.get("kind"), "Unspecified") if sp.get("kind") is not None else "Unspecified"
+    status = sp.get("status")
+    status_code = None
+    status_message = None
+    if isinstance(status, dict):
+        code = status.get("code")
+        status_code = STATUS_CODES.get(code, "Unset")
+        status_message = status.get("message")
+    name = sp.get("name")
+    flags = sp.get("flags")
+
+    events = []
+    events_native = []
+    for e in sp.get("events") or []:
+        e_native = _attrs_native(e.get("attributes"))
+        e_ts = _nanos_ts(e.get("timeUnixNano"))
+        events.append(
+            {
+                "name": e.get("name"),
+                "timestamp": e_ts,
+                "attributes": _attrs_jsonmap(e_native),
+            }
+        )
+        events_native.append(
+            {"name": e.get("name"), "timestamp": _rfc3339(e_ts), "attributes": e_native or {}}
+        )
+    links = []
+    links_native = []
+    for li in sp.get("links") or []:
+        li_native = _attrs_native(li.get("attributes"))
+        links.append(
+            {
+                "trace_id": _hex_id(li.get("traceId")),
+                "span_id": _hex_id(li.get("spanId")),
+                "trace_state": li.get("traceState"),
+                "attributes": _attrs_jsonmap(li_native),
+                "flags": li.get("flags"),
+            }
+        )
+        ld = {"traceId": _hex_id(li.get("traceId")), "spanId": _hex_id(li.get("spanId"))}
+        if li.get("traceState") is not None:
+            ld["traceState"] = li["traceState"]
+        ld["attributes"] = li_native or {}
+        if li.get("flags") is not None:
+            ld["flags"] = li["flags"]
+        links_native.append(ld)
+
+    severity = None
+    if attrs_native and isinstance(attrs_native.get("severity"), str):
+        severity = attrs_native["severity"]
+
+    reason = None
+    if trace_id is None or not _valid_hex(trace_id):
+        reason = "invalid_trace_id"
+    elif span_id is None or not _valid_hex(span_id):
+        reason = "invalid_span_id"
+    elif parent is not None and not _valid_hex(parent):
+        reason = "invalid_parent_span_id"
+    elif name is None:
+        reason = "missing_name"
+    elif start is None or end is None:
+        reason = "invalid_time"
+
+    inner = None
+    if with_inner and reason is None:
+        doc = {"traceId": trace_id, "spanId": span_id}
+        if parent is not None:
+            doc["parentSpanId"] = parent
+        doc["name"] = name
+        if sp.get("traceState") is not None:
+            doc["traceState"] = sp["traceState"]
+        if flags is not None:
+            doc["flags"] = flags
+        doc["kind"] = kind
+        if scope.get("name") is not None:
+            doc["scopeName"] = scope["name"]
+        if scope.get("version") is not None:
+            doc["scopeVersion"] = scope["version"]
+        doc["startTime"] = _rfc3339(start)
+        doc["endTime"] = _rfc3339(end)
+        doc["attributes"] = attrs_native or {}
+        if scope_native is not None:
+            doc["scopeAttributes"] = scope_native
+        if res_native is not None:
+            doc["resourceAttributes"] = res_native
+        if status_code is not None:
+            s = {"code": status_code}
+            if status_message is not None:
+                s["message"] = status_message
+            doc["status"] = s
+        if sp.get("events") is not None:
+            doc["events"] = events_native
+        if sp.get("links") is not None:
+            doc["links"] = links_native
+        inner = json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+
+    return {
+        "trace_id": trace_id,
+        "span_id": span_id,
+        "parent_span_id": parent,
+        "name": name,
+        "kind": kind,
+        "start_time": start,
+        "end_time": end,
+        "trace_state": sp.get("traceState"),
+        "flags": flags,
+        "scope_name": scope.get("name"),
+        "scope_version": scope.get("version"),
+        "status_code": status_code,
+        "status_message": status_message,
+        "attributes": _attrs_jsonmap(attrs_native),
+        "scope_attributes": _attrs_jsonmap(scope_native),
+        "resource_attributes": res_map,
+        "events": events if sp.get("events") is not None else None,
+        "links": links if sp.get("links") is not None else None,
+        "severity": severity,
+        "service_name": service_name,
+        "doc_id": doc_id,
+        "tokens": tokens,
+        "n_tok": n_tok,
+        "source": source,
+        "is_valid": reason is None,
+        "invalid_reason": reason,
+        "inner": inner,
+    }

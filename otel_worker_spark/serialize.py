@@ -36,9 +36,21 @@ RFC3339_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 
 
 def json_quote(c: Column) -> Column:
-    """String → JSON string literal (with escaping), via to_json."""
-    j = F.to_json(F.array(c))
-    return F.regexp_replace(j, r"^\[|\]$", "")
+    """String → JSON string literal.
+
+    Hot-path implementation: chained literal ``replace`` for the five
+    escapes that occur in practice (backslash first), an order of
+    magnitude cheaper than spinning a Jackson generator per value
+    (``to_json``) plus a regexp. Control characters below U+0020 other
+    than \\t \\n \\r are passed through un-escaped — technically
+    invalid JSON, never produced by OTLP text fields; the Arrow parse
+    engine (json.dumps) covers them exactly."""
+    s = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    s = F.replace(s, F.lit('"'), F.lit('\\"'))
+    s = F.replace(s, F.lit("\n"), F.lit("\\n"))
+    s = F.replace(s, F.lit("\r"), F.lit("\\r"))
+    s = F.replace(s, F.lit("\t"), F.lit("\\t"))
+    return F.concat(F.lit('"'), s, F.lit('"'))
 
 
 def json_number(c: Column) -> Column:
