@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""spark-submit entrypoints for the engine.
+
+Run on a cluster as:
+
+    spark-submit --py-files otel_worker_spark.zip jobs.py ingest \\
+        --tokens /data/token_sequences --stores /data/otel \\
+        --checkpoint /data/otel/_ckpt [--stream]
+
+    spark-submit ... jobs.py traces-list --stores /data/otel --limit 20
+    spark-submit ... jobs.py delete-trace --stores /data/otel --trace-id <hex>
+    spark-submit ... jobs.py bench           (local benchmarking, see bench.py)
+
+Local mode works identically (the session factory picks master from
+SPARK_GRAFT_CPUS). The ingest job is the reference's dev server
+(otel-worker-cli `dev` command) re-expressed as a Spark job; each
+query subcommand is one of the reference's HTTP endpoints
+(SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from otel_worker_spark.fixtures import service_lookup_df
+from otel_worker_spark.pipeline import PipelineStores, ingest_batch
+from otel_worker_spark.queries import NotFound, trace_get, traces_list
+from otel_worker_spark.session import get_spark
+from otel_worker_spark.streaming import start_ingest_stream
+
+
+def _stores(spark, root: str) -> PipelineStores:
+    return PipelineStores(spark, root)
+
+
+def cmd_ingest(args) -> None:
+    spark = get_spark("ingest")
+    stores = _stores(spark, args.stores)
+    lookup = service_lookup_df(spark)
+    if args.stream:
+        q = start_ingest_stream(
+            spark, args.tokens, lookup, stores,
+            checkpoint_dir=args.checkpoint, available_now=not args.continuous,
+        )
+        q.awaitTermination()
+    else:
+        tokens = spark.read.parquet(args.tokens)
+        receipt = ingest_batch(spark, tokens, lookup, stores, batch_id=args.batch_id)
+        print(json.dumps({k: receipt[k] for k in ("batch_id", "row_count", "skipped")}))
+
+
+def cmd_traces_list(args) -> None:
+    spark = get_spark("traces-list")
+    spans = _stores(spark, args.stores).spans.read().filter("signal != 'quarantine'")
+    for row in traces_list(spans, limit=args.limit, time=args.time).collect():
+        print(json.dumps({"traceId": row.trace_id, "endTime": str(row.end_time)}))
+
+
+def cmd_trace_get(args) -> None:
+    spark = get_spark("trace-get")
+    spans = _stores(spark, args.stores).spans.read().filter("signal != 'quarantine'")
+    try:
+        row = trace_get(spans, args.trace_id)
+    except NotFound:
+        print(json.dumps({"error": "not found"}))
+        sys.exit(4)
+    print(
+        json.dumps(
+            {
+                "traceId": row.trace_id,
+                "spans": [
+                    {k: str(v) for k, v in s.asDict().items() if k != "_ord"}
+                    for s in row.spans
+                ],
+            }
+        )
+    )
+
+
+def cmd_delete_trace(args) -> None:
+    spark = get_spark("delete-trace")
+    n = _stores(spark, args.stores).spans.delete_where(
+        f"trace_id = '{args.trace_id}'"
+    )
+    print(json.dumps({"rowsAffected": n}))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="jobs.py")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest")
+    pi.add_argument("--tokens", required=True)
+    pi.add_argument("--stores", required=True)
+    pi.add_argument("--checkpoint", default=None)
+    pi.add_argument("--batch-id", default="0")
+    pi.add_argument("--stream", action="store_true")
+    pi.add_argument("--continuous", action="store_true")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pl = sub.add_parser("traces-list")
+    pl.add_argument("--stores", required=True)
+    pl.add_argument("--limit", type=int, default=None)
+    pl.add_argument("--time", default=None)
+    pl.set_defaults(fn=cmd_traces_list)
+
+    pg = sub.add_parser("trace-get")
+    pg.add_argument("--stores", required=True)
+    pg.add_argument("--trace-id", required=True)
+    pg.set_defaults(fn=cmd_trace_get)
+
+    pd_ = sub.add_parser("delete-trace")
+    pd_.add_argument("--stores", required=True)
+    pd_.add_argument("--trace-id", required=True)
+    pd_.set_defaults(fn=cmd_delete_trace)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

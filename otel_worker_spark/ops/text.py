@@ -118,6 +118,34 @@ FROM (SELECT doc_id, lang, {select_scores} FROM documents) t
 """
 
 
+#: BPE-ish pre-tokenizer regex: letter runs, digit runs, single
+#: punctuation — the standard GPT-2-style pre-split shape.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    pre-tokenization (the count a training-data pipeline budgets by)."""
+    toks = _tokens_expr("text")
+    return documents.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{BPE_RE}', 0))").alias("n_bpe_tokens"),
+        F.expr("length(text)").alias("n_chars_m"),
+    )
+
+
+def token_counts_sql() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+SELECT doc_id,
+       len({toks}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}', 0)) AS n_bpe_tokens,
+       length(text) AS n_chars_m
+FROM documents
+"""
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: polynomial rolling hash over codepoints,
     mod 2^31-1 (a Rabin-Karp-style content fingerprint). Sequential

@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": lambda s, d: dd.simhash_near_pairs(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
         "text_stats": lambda s, d: tx.text_stats(_docs(s, d)),
+        "text_token_counts": lambda s, d: tx.token_counts(_docs(s, d)),
         "text_lang_id": lambda s, d: tx.lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: tx.fingerprint(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
@@ -553,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dd.simhash_near_pairs_sql(),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql(),
         "text_stats": tx.text_stats_sql(),
+        "text_token_counts": tx.token_counts_sql(),
         "text_lang_id": tx.lang_id_sql(),
         "text_fingerprint": tx.fingerprint_sql(),
         "ann_cosine_topk": sim.cosine_topk_sql(),

@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB
+must actually appear in the plans (a correct-but-mis-planned operator
+is a regression)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otel_worker_spark.fixtures import service_lookup_df, token_sequences_from_events
+from otel_worker_spark.pipeline import transform_batch
+from otel_worker_spark.queries import trace_summaries, traces_list
+from otel_worker_spark.registry import rel_join_chain, rel_pricing_summary, rel_topk_orders
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    """Filters and projections must reach the parquet scan."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1998-09-02").select("l_orderkey", "l_quantity")
+    s = formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in s
+    # column pruning: only the needed columns in ReadSchema
+    read_schema = [l for l in s.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_topk_is_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (true
+    top-k), never a global Sort."""
+    s = plan_of(rel_topk_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s
+    assert "Sort [" not in s  # no global sort node
+
+
+def test_traces_list_plan(spark):
+    """A1+O1: partial aggregation before the shuffle + top-k."""
+    tok = token_sequences_from_events(spark, SF_DIR)
+    spans = transform_batch(tok, service_lookup_df(spark), with_inner=False)
+    s = plan_of(traces_list(spans))
+    assert "TakeOrderedAndProject" in s
+    assert s.count("HashAggregate") >= 2  # partial + final
+
+
+def test_dim_joins_are_broadcast(spark):
+    """The service/nation/region dims must broadcast — a shuffle here
+    is wrong at any scale."""
+    s = plan_of(rel_join_chain(spark, SF_DIR))
+    assert s.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in s
+
+
+def test_enrich_join_is_broadcast(spark):
+    tok = token_sequences_from_events(spark, SF_DIR)
+    routed = transform_batch(tok, service_lookup_df(spark), with_inner=False)
+    s = plan_of(routed)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_trace_summaries_semi_join_broadcast(spark):
+    """J1: the top-k id set must broadcast into the semi-join."""
+    tok = token_sequences_from_events(spark, SF_DIR)
+    spans = transform_batch(tok, service_lookup_df(spark), with_inner=False).filter(
+        "signal != 'quarantine'"
+    )
+    s = plan_of(trace_summaries(spans, limit=5))
+    assert "BroadcastHashJoin" in s and "LeftSemi" in s
+
+
+def test_pricing_summary_partial_agg(spark):
+    """Map-side partial aggregation before the exchange (the two-phase
+    agg that keeps the shuffle tiny at 100 TB)."""
+    s = plan_of(rel_pricing_summary(spark, SF_DIR))
+    first_agg = s.index("HashAggregate")
+    assert s.count("HashAggregate") >= 2
+    assert "Exchange" in s[first_agg:]
