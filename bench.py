@@ -46,8 +46,12 @@ def _measure(cores: int) -> dict:
     timings: dict[str, float] = {}
     try:
         # ---- setup (untimed): materialize the token table ------------
+        # Repartitioned like a real ingest source would be (the events
+        # parquet is one file → 1-2 input splits → no parallelism).
+        # Partition count is FIXED across parallelism levels so the
+        # scaling comparison sees identical inputs.
         tok_path = os.path.join(tmp, "tokens")
-        tok_src = token_sequences_from_events(spark, SF_DIR)
+        tok_src = token_sequences_from_events(spark, SF_DIR).repartition(64)
         tok_src.write.mode("overwrite").parquet(tok_path)
         tokens = spark.read.parquet(tok_path)
         n_seq = tokens.count()

@@ -39,20 +39,36 @@ from .schemas import SPAN_KINDS, STATUS_CODES
 
 HEX_CHARS = set("0123456789abcdef")
 
-OUTPUT_SCHEMA = """
-    trace_id string, span_id string, parent_span_id string, name string,
-    kind string, start_time timestamp, end_time timestamp,
-    trace_state string, flags long, scope_name string, scope_version string,
-    status_code string, status_message string,
-    attributes map<string,string>, scope_attributes map<string,string>,
-    resource_attributes map<string,string>,
-    events array<struct<name:string,timestamp:timestamp,attributes:map<string,string>>>,
-    links array<struct<trace_id:string,span_id:string,trace_state:string,
-                       attributes:map<string,string>,flags:long>>,
-    severity string, service_name string,
-    doc_id string, tokens array<int>, n_tok int, source string,
-    is_valid boolean, invalid_reason string, inner string
-"""
+_SPARK_TYPES = {
+    "trace_id": "string", "span_id": "string", "parent_span_id": "string",
+    "name": "string", "kind": "string", "start_time": "timestamp",
+    "end_time": "timestamp", "trace_state": "string", "flags": "long",
+    "scope_name": "string", "scope_version": "string",
+    "status_code": "string", "status_message": "string",
+    "attributes": "map<string,string>",
+    "scope_attributes": "map<string,string>",
+    "resource_attributes": "map<string,string>",
+    "events": "array<struct<name:string,timestamp:timestamp,attributes:map<string,string>>>",
+    "links": (
+        "array<struct<trace_id:string,span_id:string,trace_state:string,"
+        "attributes:map<string,string>,flags:long>>"
+    ),
+    "severity": "string", "service_name": "string", "doc_id": "string",
+    "tokens": "array<int>", "n_tok": "int", "source": "string",
+    "is_valid": "boolean", "invalid_reason": "string", "inner": "string",
+}
+
+#: fields whose construction is skippable under column pruning
+#: (mapInArrow cannot be pruned by Catalyst — we prune ourselves)
+_HEAVY = {"attributes", "scope_attributes", "resource_attributes",
+          "events", "links", "inner", "tokens"}
+
+
+def _schema_for(cols: list[str]) -> str:
+    return ", ".join(f"{c} {_SPARK_TYPES[c]}" for c in cols)
+
+
+OUTPUT_SCHEMA = None  # set below once _COLUMNS is defined
 
 
 def _anyvalue(v: dict | None):
@@ -97,14 +113,31 @@ def _attrs_native(attrs: list | None) -> dict | None:
     return dict(sorted(out.items()))
 
 
+_NEEDS_ESCAPE = __import__("re").compile(r'[\\"\x00-\x1f]')
+
+
+def _json_value(v) -> str:
+    """json.dumps with a fast path for the overwhelmingly common
+    cases (plain strings, ints, bools) — the per-attribute dumps call
+    is a kernel hotspot."""
+    if type(v) is str:
+        if _NEEDS_ESCAPE.search(v) is None:
+            return '"' + v + '"'
+        return json.dumps(v, ensure_ascii=False)
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if type(v) is int:
+        return str(v)
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
 def _attrs_jsonmap(native: dict | None) -> dict | None:
     """Native attr dict → map<string, json-string> (engine column form)."""
     if native is None:
         return None
-    return {
-        k: json.dumps(v, separators=(",", ":"), ensure_ascii=False)
-        for k, v in native.items()
-    }
+    return {k: _json_value(v) for k, v in native.items()}
 
 
 def _hex_id(s) -> str | None:
@@ -144,21 +177,136 @@ def _rfc3339(dt: datetime | None) -> str | None:
     return dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
 
 
-def parse_token_sequences_arrow(df: DataFrame, with_inner: bool = True) -> DataFrame:
-    """Arrow-engine twin of ``parse.parse_token_sequences``."""
+def _arrow_types():
+    import pyarrow as pa
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, tokens, n_tok, source in zip(
-                pdf["doc_id"], pdf["tokens"], pdf["n_tok"], pdf["source"]
-            ):
-                rows.extend(
-                    _parse_one(doc_id, tokens, n_tok, source, with_inner)
+    map_t = pa.map_(pa.string(), pa.string())
+    return {
+        "trace_id": pa.string(),
+        "span_id": pa.string(),
+        "parent_span_id": pa.string(),
+        "name": pa.string(),
+        "kind": pa.string(),
+        "start_time": pa.timestamp("us"),
+        "end_time": pa.timestamp("us"),
+        "trace_state": pa.string(),
+        "flags": pa.int64(),
+        "scope_name": pa.string(),
+        "scope_version": pa.string(),
+        "status_code": pa.string(),
+        "status_message": pa.string(),
+        "attributes": map_t,
+        "scope_attributes": map_t,
+        "resource_attributes": map_t,
+        "events": pa.list_(
+            pa.struct(
+                [
+                    ("name", pa.string()),
+                    ("timestamp", pa.timestamp("us")),
+                    ("attributes", map_t),
+                ]
+            )
+        ),
+        "links": pa.list_(
+            pa.struct(
+                [
+                    ("trace_id", pa.string()),
+                    ("span_id", pa.string()),
+                    ("trace_state", pa.string()),
+                    ("attributes", map_t),
+                    ("flags", pa.int64()),
+                ]
+            )
+        ),
+        "severity": pa.string(),
+        "service_name": pa.string(),
+        "doc_id": pa.string(),
+        "n_tok": pa.int32(),
+        "source": pa.string(),
+        "is_valid": pa.bool_(),
+        "invalid_reason": pa.string(),
+        "inner": pa.string(),
+    }
+
+
+def parse_token_sequences_arrow(
+    df: DataFrame, with_inner: bool = True, columns: list[str] | None = None
+) -> DataFrame:
+    """Arrow-engine twin of ``parse.parse_token_sequences``.
+
+    Implemented over ``mapInArrow`` rather than ``mapInPandas``: the
+    dominant cost of the stage is not parsing but moving the token
+    arrays (≈1 KB of int32 per row) across the Arrow boundary —
+    pandas conversion materializes a Python/numpy object per row in
+    BOTH directions. Here the input token column is read zero-copy
+    (ListArray values buffer + offsets) and the output ``tokens``
+    column is produced by ``compute.take`` on the input column
+    (C++-side gather, no Python objects). The token-array-equality
+    invariant is preserved by construction — the output column IS the
+    input bytes.
+
+    ``columns`` prunes the output: Catalyst cannot push column pruning
+    into a Python kernel, so callers that only need typed scalars pass
+    the subset and the kernel skips building attribute maps /
+    events / links / inner / the tokens gather entirely.
+    """
+    emit = [c for c in _COLUMNS if columns is None or c in set(columns)]
+    if columns is not None:
+        missing = set(columns) - set(_COLUMNS)
+        if missing:
+            raise ValueError(f"unknown parse columns: {sorted(missing)}")
+    need_heavy = frozenset(_HEAVY & set(emit))
+    build_inner = with_inner and "inner" in need_heavy
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        types = _arrow_types()
+        for rb in batches:
+            tok_col = rb.column(rb.schema.get_field_index("tokens"))
+            if isinstance(tok_col, pa.ChunkedArray):
+                tok_col = tok_col.combine_chunks()
+            offsets = tok_col.offsets.to_numpy(zero_copy_only=False)
+            values = tok_col.values.to_numpy(zero_copy_only=False)
+            doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+            n_toks = rb.column(rb.schema.get_field_index("n_tok")).to_pylist()
+            sources = rb.column(rb.schema.get_field_index("source")).to_pylist()
+
+            rows: list[dict] = []
+            idx_map: list[int] = []
+            for i in range(rb.num_rows):
+                seg = values[offsets[i] : offsets[i + 1]]
+                parsed = _parse_one_bytes(
+                    doc_ids[i], seg, n_toks[i], sources[i], build_inner, need_heavy
                 )
-            yield pd.DataFrame(rows, columns=_COLUMNS)
+                rows.extend(parsed)
+                idx_map.extend([i] * len(parsed))
 
-    return df.mapInPandas(kernel, schema=OUTPUT_SCHEMA)
+            arrays = []
+            for col in emit:
+                if col == "tokens":
+                    arrays.append(pc.take(tok_col, pa.array(idx_map, pa.int32())))
+                else:
+                    arrays.append(pa.array([r[col] for r in rows], type=types[col]))
+            yield pa.RecordBatch.from_arrays(arrays, names=emit)
+
+    return df.mapInArrow(kernel, schema=_schema_for(emit))
+
+
+def _parse_one_bytes(
+    doc_id, seg, n_tok, source, with_inner, need=frozenset(_HEAVY)
+) -> list[dict]:
+    """Parse from the zero-copy int array slice; the ``tokens`` key is
+    omitted (gathered Arrow-side via take). ``need`` lists the heavy
+    fields to actually build."""
+    if seg.size and (seg.min() < 0 or seg.max() > 255):
+        return _null_row(doc_id, None, n_tok, source, "undecodable_payload")
+    try:
+        payload = seg.astype(np.uint8).tobytes().decode("utf-8")
+    except UnicodeDecodeError:
+        return _null_row(doc_id, None, n_tok, source, "undecodable_payload")
+    return _parse_payload(doc_id, payload, n_tok, source, with_inner, need)
 
 
 _COLUMNS = [
@@ -171,10 +319,13 @@ _COLUMNS = [
 ]
 
 
-def _null_row(doc_id, tokens, n_tok, source, reason):
+OUTPUT_SCHEMA = _schema_for(_COLUMNS)
+
+
+def _null_row(doc_id, _tokens, n_tok, source, reason):
     base = dict.fromkeys(_COLUMNS)
     base.update(
-        doc_id=doc_id, tokens=tokens, n_tok=n_tok, source=source,
+        doc_id=doc_id, n_tok=n_tok, source=source,
         is_valid=False, invalid_reason=reason,
         # the SQL engine's kind decode coalesces null → Unspecified
         # (data/models.rs:58) even on all-null quarantine rows
@@ -183,16 +334,7 @@ def _null_row(doc_id, tokens, n_tok, source, reason):
     return [base]
 
 
-def _parse_one(doc_id, tokens, n_tok, source, with_inner) -> list[dict]:
-    # detokenize (identity byte vocab)
-    try:
-        arr = np.asarray(tokens, dtype=np.int64)
-        if arr.size and (arr.min() < 0 or arr.max() > 255):
-            raise ValueError
-        payload = arr.astype(np.uint8).tobytes().decode("utf-8")
-    except (ValueError, UnicodeDecodeError, TypeError):
-        return _null_row(doc_id, tokens, n_tok, source, "undecodable_payload")
-
+def _parse_payload(doc_id, payload, n_tok, source, with_inner, need=frozenset(_HEAVY)) -> list[dict]:
     # JSON-shape failures mirror the SQL engine: from_json PERMISSIVE
     # yields a null-field struct, the explode_outer chain emits one
     # null-span row, and the reason chain reports invalid_trace_id.
@@ -210,7 +352,7 @@ def _parse_one(doc_id, tokens, n_tok, source, with_inner) -> list[dict]:
         if not isinstance(rs, dict):
             continue
         res_native = _attrs_native((rs.get("resource") or {}).get("attributes"))
-        res_map = _attrs_jsonmap(res_native)
+        res_map = _attrs_jsonmap(res_native) if "resource_attributes" in need else None
         service_name = None
         if res_native and isinstance(res_native.get("service.name"), str):
             service_name = res_native["service.name"]
@@ -221,19 +363,19 @@ def _parse_one(doc_id, tokens, n_tok, source, with_inner) -> list[dict]:
                 out.append(
                     _span_row(
                         sp, scope, scope_native, res_native, res_map,
-                        service_name, doc_id, tokens, n_tok, source, with_inner,
+                        service_name, doc_id, n_tok, source, with_inner, need,
                     )
                 )
     if not out:
         # an envelope that decodes but contains no spans: the explode
         # engine emits one null-span row (explode_outer) — match it
-        return _null_row(doc_id, tokens, n_tok, source, "invalid_trace_id")
+        return _null_row(doc_id, None, n_tok, source, "invalid_trace_id")
     return out
 
 
 def _span_row(
     sp, scope, scope_native, res_native, res_map, service_name,
-    doc_id, tokens, n_tok, source, with_inner,
+    doc_id, n_tok, source, with_inner, need=frozenset(_HEAVY),
 ) -> dict:
     attrs_native = _attrs_native(sp.get("attributes"))
     trace_id = _hex_id(sp.get("traceId"))
@@ -254,7 +396,8 @@ def _span_row(
 
     events = []
     events_native = []
-    for e in sp.get("events") or []:
+    want_events = "events" in need or with_inner
+    for e in (sp.get("events") or []) if want_events else []:
         e_native = _attrs_native(e.get("attributes"))
         e_ts = _nanos_ts(e.get("timeUnixNano"))
         events.append(
@@ -269,7 +412,8 @@ def _span_row(
         )
     links = []
     links_native = []
-    for li in sp.get("links") or []:
+    want_links = "links" in need or with_inner
+    for li in (sp.get("links") or []) if want_links else []:
         li_native = _attrs_native(li.get("attributes"))
         links.append(
             {
@@ -351,15 +495,14 @@ def _span_row(
         "scope_version": scope.get("version"),
         "status_code": status_code,
         "status_message": status_message,
-        "attributes": _attrs_jsonmap(attrs_native),
-        "scope_attributes": _attrs_jsonmap(scope_native),
+        "attributes": _attrs_jsonmap(attrs_native) if "attributes" in need else None,
+        "scope_attributes": _attrs_jsonmap(scope_native) if "scope_attributes" in need else None,
         "resource_attributes": res_map,
         "events": events if sp.get("events") is not None else None,
         "links": links if sp.get("links") is not None else None,
         "severity": severity,
         "service_name": service_name,
         "doc_id": doc_id,
-        "tokens": tokens,
         "n_tok": n_tok,
         "source": source,
         "is_valid": reason is None,

@@ -51,12 +51,20 @@ CANON_COLS = [
 ]
 
 
+#: columns the routing/enrich/quarantine stages themselves consume
+_ROUTING_COLS = {
+    "name", "severity", "service_name", "is_valid", "invalid_reason",
+    "doc_id", "n_tok", "source",
+}
+
+
 def transform_batch(
     token_df: DataFrame,
     service_lookup: DataFrame,
     depth: int = 3,
     with_inner: bool = True,
     engine: str = "arrow",
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """The pure transformation: token sequences → routed span rows
     (+ quarantine rows flagged by is_valid). No I/O, reusable by
@@ -71,18 +79,24 @@ def transform_batch(
     ``with_inner=False`` skips building the ``inner`` JSON column for
     read paths that don't need it (column pruning can't elide a
     projected expression)."""
+    if columns is not None:
+        columns = sorted(set(columns) | _ROUTING_COLS)
     if engine == "arrow":
         from .parse_arrow import parse_token_sequences_arrow
 
-        parsed = parse_token_sequences_arrow(token_df, with_inner=with_inner)
+        parsed = parse_token_sequences_arrow(
+            token_df, with_inner=with_inner, columns=columns
+        )
     else:
         parsed = parse_token_sequences(token_df, depth=depth, with_inner=with_inner)
+        if columns is not None:
+            parsed = parsed.select(*[c for c in parsed.columns if c in set(columns)])
     enriched = enrich_spans(parsed, service_lookup)
     routed = enriched.withColumn(
         "signal",
         F.when(~F.col("is_valid"), F.lit("quarantine")).otherwise(signal_expr()),
     ).drop("is_valid")
-    return routed.select(*CANON_COLS)
+    return routed.select(*[c for c in CANON_COLS if c in routed.columns])
 
 
 def ingest_batch(

@@ -59,10 +59,25 @@ def _fmt(col: str, alias: str) -> F.Column:
 # --------------------------------------------------------------- pipeline
 
 
+#: the typed scalar columns the pipeline_* queries project — passed to
+#: the kernel so it skips building maps/events/links/inner/tokens
+#: (Catalyst cannot prune through a Python stage)
+_QUERY_COLS = [
+    "doc_id", "source", "n_tok", "trace_id", "span_id", "parent_span_id",
+    "name", "kind", "severity", "service_name", "flags", "status_code",
+    "status_message", "start_time", "end_time",
+]
+
+
 def _spans(spark: SparkSession, sf_dir: str, with_inner: bool = False) -> DataFrame:
     """events → token table → the full parse/enrich/route pipeline."""
     tok = token_sequences_from_events(spark, sf_dir)
-    return transform_batch(tok, service_lookup_df(spark), with_inner=with_inner)
+    return transform_batch(
+        tok,
+        service_lookup_df(spark),
+        with_inner=with_inner,
+        columns=None if with_inner else _QUERY_COLS,
+    )
 
 
 def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
