@@ -63,7 +63,13 @@ def _shingles_spark_sql() -> str:
     )
 
 
-def _hashes_spark_sql() -> str:
+def _hashes_spark_sql(hash_impl: str = "md5") -> str:
+    """Shingle-hash expression. ``md5`` is the portable form the DuckDB
+    oracle can reproduce; ``xxhash64`` is the production form (JVM
+    native, ~5-10x cheaper) with identical op structure — swap freely,
+    only cross-engine verification requires md5."""
+    if hash_impl == "xxhash64":
+        return f"transform({_shingles_spark_sql()}, s -> pmod(xxhash64(s), {MERSENNE31}))"
     return (
         f"transform({_shingles_spark_sql()}, s ->"
         f" (CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MERSENNE31}))"
@@ -81,18 +87,23 @@ def _hashes_duck_sql() -> str:
     return f"[{hash31_sql('s')} for s in {_shingles_duck_sql()}]"
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """doc_id → minhash signature (one narrow map job, no shuffle)."""
+def minhash_signatures(documents: DataFrame, hash_impl: str = "md5") -> DataFrame:
+    """doc_id → minhash signature (one narrow map job, no shuffle).
+
+    The shingle hash array is computed ONCE into a lateral column and
+    the P permutations fold over it — without this, Catalyst inlines
+    the hash-array expression into every permutation (P× the work).
+    """
+    hashes = _hashes_spark_sql(hash_impl)
     perms = minhash_perms(N_PERMS)
-    sig = F.array(
-        *[
-            F.expr(
-                f"array_min(transform({_hashes_spark_sql()}, h -> ({a} * h + {b}) % {MERSENNE31}))"
-            )
-            for (a, b) in perms
-        ]
+    mins = [
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
+        for (a, b) in perms
+    ]
+    return (
+        documents.select("doc_id", F.expr(hashes).alias("hs"))
+        .select("doc_id", F.expr("array(" + ", ".join(mins) + ")").alias("sig"))
     )
-    return documents.select("doc_id", sig.alias("sig"))
 
 
 def minhash_signatures_flat(documents: DataFrame) -> DataFrame:
@@ -126,7 +137,9 @@ FROM (SELECT doc_id, {_hashes_duck_sql()} AS hs FROM documents) t
 """
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    documents: DataFrame, threshold: float = 0.5, hash_impl: str = "md5"
+) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (fraction of matching
     signature components), kept when est ≥ threshold.
 
@@ -134,7 +147,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     self-equi-join on the band bucket (shuffle on uniform band hash)
     → distinct pairs → estimate on the two 16-element signatures.
     """
-    sigs = minhash_signatures(documents)
+    sigs = minhash_signatures(documents, hash_impl)
     rows_per_band = N_PERMS // N_BANDS
     bands = sigs.select(
         "doc_id",

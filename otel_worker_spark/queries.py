@@ -97,6 +97,15 @@ def trace_get(spans: DataFrame, trace_id: str):
     return rows[0]
 
 
+MCP_RESOURCES_PAGE = 50  # trace_list(Some(50), None), commands/mcp.rs:348
+
+
+def mcp_resources_list(spans: DataFrame) -> DataFrame:
+    """The MCP server's resources/list page: the 50 most recent traces
+    (otel-worker-cli/src/commands/mcp.rs:341-374)."""
+    return traces_list(spans, limit=MCP_RESOURCES_PAGE)
+
+
 def parent_child_spans(spans: DataFrame) -> DataFrame:
     """J3: the self-join the reference indexes for but never ships
     ((trace_id, parent_span_id) index, 20240708_create_spans.sql:16) —

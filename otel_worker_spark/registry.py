@@ -29,7 +29,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .enrich import enrich_spans
 from .fixtures import (
     parsed_spans_sql,
     service_lookup_df,

@@ -106,7 +106,10 @@ class TableStore:
         self, df: DataFrame, tag: str, partition_by: str | None = None
     ) -> tuple[list[str], list[dict]]:
         out_dir = os.path.join(self.data_dir, f"{tag}-{uuid.uuid4().hex[:12]}")
-        writer = df.write.mode("errorifexists")
+        # zstd ≈ snappy speed at notably better ratio — at 100 TB the
+        # storage + scan-bandwidth savings dominate (S5 analog: the
+        # reference gets gzip transparently from tower layers)
+        writer = df.write.mode("errorifexists").option("compression", "zstd")
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(out_dir)

@@ -54,8 +54,10 @@ def test_stream_restart_is_exactly_once(spark, tmp_root):
     q = start_ingest_stream(
         spark, src, lookup, stores, checkpoint_dir=ckpt, max_files_per_trigger=2
     )
+    import time as _time
+
     while not q.recentProgress:
-        pass
+        _time.sleep(0.2)
     q.stop()
     q.awaitTermination(60)
     partial = stores.spans.read().count()
