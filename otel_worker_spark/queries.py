@@ -97,6 +97,29 @@ def trace_get(spans: DataFrame, trace_id: str):
     return rows[0]
 
 
+def trace_summary_json(spans: DataFrame, trace_id: str) -> dict:
+    """The reference's ``TraceSummary`` wire shape — camelCase
+    ``{"traceId": ..., "spans": [<full span JSON>...]}``
+    (otel.rs:295-318; spans round-trip through the ``inner`` column
+    exactly like the reference re-parses its TEXT column,
+    data/models.rs:31-44). Raises NotFound on an unknown/empty trace.
+    """
+    import json as _json
+
+    rows = (
+        span_list_by_trace(spans, trace_id)
+        .select("start_time", "inner")
+        .orderBy("start_time")
+        .collect()
+    )
+    if not rows:
+        raise NotFound(f"trace {trace_id}")
+    return {
+        "traceId": trace_id,
+        "spans": [_json.loads(r.inner) for r in rows if r.inner is not None],
+    }
+
+
 MCP_RESOURCES_PAGE = 50  # trace_list(Some(50), None), commands/mcp.rs:348
 
 

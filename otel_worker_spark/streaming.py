@@ -62,3 +62,51 @@ def start_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_span_counts(
+    spark: SparkSession,
+    source_dir: str,
+    service_lookup: DataFrame,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    query_name: str = "windowed_span_counts",
+):
+    """Watermarked, windowed per-signal aggregate over the live span
+    stream — the reference has no windows (SURVEY §2.9: every export
+    applies immediately), but this is the standard extension an OTEL
+    pipeline grows: late data bounded by the watermark, state evicted
+    once the window closes (constant state at 10^12-seq scale).
+
+    Emits append-mode rows to an in-memory sink (swap for a table sink
+    in production); returns the StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from .pipeline import transform_batch
+    from .schemas import TOKEN_SEQUENCES_SCHEMA
+
+    token_stream = (
+        spark.readStream.schema(TOKEN_SEQUENCES_SCHEMA).format("parquet").load(source_dir)
+    )
+    routed = transform_batch(
+        token_stream,
+        service_lookup,
+        with_inner=False,
+        columns=["trace_id", "span_id", "name", "severity", "service_name", "end_time"],
+    )
+    agg = (
+        routed.filter("signal != 'quarantine'")
+        .withWatermark("end_time", watermark)
+        .groupBy(F.window("end_time", window), "signal")
+        .agg(F.count("*").alias("n_spans"), F.sum("n_tok").alias("sum_n_tok"))
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -111,6 +111,31 @@ def test_span_get_and_not_found(spark, ingested):
         Q.span_get(spans, any_row.trace_id, "0000000000000000")
 
 
+def test_trace_summary_json_wire_shape(spark, ingested):
+    """§2.11: TraceSummary wire shape — camelCase, spans round-trip
+    through the inner JSON column (otel.rs:295-318)."""
+    stores, _ = ingested
+    spans = spans_of(stores)
+    tid = spans.limit(1).collect()[0].trace_id
+    ts = Q.trace_summary_json(spans, tid)
+    assert ts["traceId"] == tid
+    assert len(ts["spans"]) == spans.filter(F.col("trace_id") == tid).count()
+    sp = ts["spans"][0]
+    assert sp["traceId"] == tid
+    for key in ("spanId", "name", "kind", "startTime", "endTime", "attributes"):
+        assert key in sp
+    # attribute keys sorted (BTreeMap parity), RFC3339 times
+    assert list(sp["attributes"].keys()) == sorted(sp["attributes"].keys())
+    assert sp["startTime"].endswith("Z") and "T" in sp["startTime"]
+    with pytest.raises(Q.NotFound):
+        Q.trace_summary_json(spans, "ff" * 16)
+
+
+def test_mcp_resources_page(spark, ingested):
+    stores, _ = ingested
+    assert Q.mcp_resources_list(spans_of(stores)).count() == 50
+
+
 def test_parent_child_join(spark, ingested):
     """J3: children resolve to parents within the same trace."""
     stores, _ = ingested

@@ -40,6 +40,44 @@ def test_stream_drains_and_matches_batch(spark, tmp_root):
     assert got == total - stores.sink("quarantine").count()
 
 
+def test_windowed_span_counts(spark, tmp_root):
+    """Watermarked windowed aggregate over the span stream: totals
+    across windows equal the batch pipeline's per-signal counts."""
+    from otel_worker_spark.pipeline import transform_batch
+    from otel_worker_spark.streaming import windowed_span_counts
+
+    src = os.path.join(tmp_root, "tokens")
+    _write_token_dir(spark, src)
+    lookup = service_lookup_df(spark)
+    q = windowed_span_counts(
+        spark, src, lookup, os.path.join(tmp_root, "ck"), query_name="wsc_test"
+    )
+    q.awaitTermination(120)
+    windowed = spark.sql("select signal, sum(n_spans) n from wsc_test group by signal")
+    got = {r.signal: r.n for r in windowed.collect()}
+    # append mode emits only CLOSED windows: window.end <= final
+    # watermark (= max event time - 30 min) — compute the exact same
+    # truth with a batch window aggregate
+    tok = token_sequences_from_events(spark, SF_DIR)
+    routed = transform_batch(tok, lookup, with_inner=False).filter(
+        "signal != 'quarantine'"
+    )
+    max_end = routed.agg(F.max("end_time")).collect()[0][0]
+    truth = {
+        r.signal: r.n
+        for r in routed.groupBy(F.window("end_time", "10 minutes"), "signal")
+        .agg(F.count("*").alias("w_n"))
+        .where(
+            F.col("window.end")
+            <= F.lit(max_end) - F.expr("INTERVAL 30 MINUTES")
+        )
+        .groupBy("signal")
+        .agg(F.sum("w_n").alias("n"))
+        .collect()
+    }
+    assert got == truth
+
+
 def test_stream_restart_is_exactly_once(spark, tmp_root):
     """Kill/restart mid-stream: re-running with the same checkpoint and
     sink stores lands zero duplicates (idempotent-by-batch appends)."""
