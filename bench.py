@@ -38,7 +38,7 @@ SCALE_LOW = int(os.environ.get("BENCH_SCALE_LOW", "4"))
 SCALE_HIGH = int(os.environ.get("BENCH_SCALE_HIGH", "16"))
 #: input replication for the scaling measurement — amortizes per-job
 #: fixed costs (~4 s) that otherwise cap measurable efficiency
-SCALE_REP = int(os.environ.get("BENCH_SCALE_REP", "24"))
+SCALE_REP = int(os.environ.get("BENCH_SCALE_REP", "20"))
 
 
 def _measure(cores: int) -> dict:
