@@ -22,9 +22,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 from otel_worker_spark.fixtures import service_lookup_df
+from otel_worker_spark.parse import HEX_RE
 from otel_worker_spark.pipeline import PipelineStores, ingest_batch
 from otel_worker_spark.queries import NotFound, trace_get, traces_list
 from otel_worker_spark.session import get_spark
@@ -80,6 +82,12 @@ def cmd_trace_get(args) -> None:
 
 
 def cmd_delete_trace(args) -> None:
+    # validate BEFORE interpolating into the predicate string — same
+    # hex gate the parse stage enforces (reference rejects non-hex ids
+    # at deserialization, data/models.rs:93-95)
+    if not re.fullmatch(HEX_RE.strip("^$"), args.trace_id or ""):
+        print(json.dumps({"error": "trace-id must be lowercase hex"}))
+        sys.exit(2)
     spark = get_spark("delete-trace")
     n = _stores(spark, args.stores).spans.delete_where(
         f"trace_id = '{args.trace_id}'"

@@ -49,10 +49,14 @@ def _kind_expr(kind: Column) -> Column:
     return F.coalesce(m[kind], F.lit("Unspecified"))
 
 
-def _status_expr(code: Column) -> Column:
-    """Proto int → {Unset,Ok,Error}; unknown ints → Unset (P6)."""
+def _status_expr(status: Column) -> Column:
+    """Proto int → {Unset,Ok,Error} (P6). A status object WITHOUT a
+    code still decodes to Unset — proto3 defaults the missing field to
+    0/Unset and the reference's ``Status::code()`` does the same — so
+    the branch is on the status STRUCT being present, not the code.
+    Unknown ints also map to Unset. No status object at all → NULL."""
     m = F.create_map(*[F.lit(x) for kv in STATUS_CODES.items() for x in kv])
-    return F.coalesce(m[code], F.when(code.isNotNull(), F.lit("Unset")))
+    return F.when(status.isNotNull(), F.coalesce(m[status["code"]], F.lit("Unset")))
 
 
 def _nanos_to_ts(nanos_str: Column) -> Column:
@@ -130,15 +134,17 @@ def parse_token_sequences(
     # Routing keys extracted from the RAW parsed arrays, not the
     # JSON-encoded maps: CollapseProject would otherwise inline
     # (= recompute) the entire attrs_to_map expression per consumer.
-    # F.get (not [0]) — ANSI mode makes [0] on an empty array fatal
-    severity = F.get(
-        F.filter(sp["attributes"], lambda kv: kv["key"] == F.lit("severity")), 0
+    # LAST match wins on duplicate keys (BTreeMap insert semantics,
+    # same as the Arrow engine's dict build); try_element_at(-1) is
+    # the ANSI-safe "last element or null" accessor.
+    severity = F.try_element_at(
+        F.filter(sp["attributes"], lambda kv: kv["key"] == F.lit("severity")), F.lit(-1)
     )["value"]["stringValue"]
-    service_name = F.get(
+    service_name = F.try_element_at(
         F.filter(
             F.col("_rs.resource.attributes"), lambda kv: kv["key"] == F.lit("service.name")
         ),
-        0,
+        F.lit(-1),
     )["value"]["stringValue"]
 
     out = parsed.select(
@@ -153,7 +159,7 @@ def parse_token_sequences(
         sp["flags"].alias("flags"),
         F.col("_ss.scope.name").alias("scope_name"),
         F.col("_ss.scope.version").alias("scope_version"),
-        _status_expr(sp["status"]["code"]).alias("status_code"),
+        _status_expr(sp["status"]).alias("status_code"),
         sp["status"]["message"].alias("status_message"),
         span_attrs.alias("attributes"),
         scope_attrs.alias("scope_attributes"),

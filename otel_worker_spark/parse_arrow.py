@@ -71,45 +71,151 @@ def _schema_for(cols: list[str]) -> str:
 OUTPUT_SCHEMA = None  # set below once _COLUMNS is defined
 
 
-def _anyvalue(v: dict | None):
-    """OTLP/JSON AnyValue → native Python (the untagged API encoding),
-    mirroring From<any_value::Value> for AttributeValue
-    (otel-worker-core/src/api/models/otel.rs:269-292)."""
-    if not isinstance(v, dict):
-        return None
-    if "stringValue" in v:
-        return v["stringValue"]
-    if "boolValue" in v:
-        return v["boolValue"]
-    if "intValue" in v:
-        try:
-            return int(v["intValue"])
-        except (TypeError, ValueError):
-            return None
-    if "doubleValue" in v:
-        return v["doubleValue"]
-    if "bytesValue" in v:
-        import base64
+# ---- from_json-parity coercions --------------------------------------------
+# The Catalyst engine reads payloads through from_json with an explicit
+# schema; PERMISSIVE mode has precise per-type coercion rules (probed
+# empirically, asserted by tests/test_parse_engines.py poison cases).
+# Every value pulled from the orjson/json decode goes through one of
+# these, so a wrong-typed field NEVER reaches pa.array (which would
+# abort the task — the poison-payload crash ADVICE r1 flagged); it
+# coerces or nulls exactly like the SQL engine.
 
-        try:
-            return list(base64.b64decode(v["bytesValue"]))
-        except Exception:
-            return None
-    if "arrayValue" in v:
-        return [_anyvalue(x) for x in (v["arrayValue"] or {}).get("values") or []]
-    if "kvlistValue" in v:
-        return _attrs_native((v["kvlistValue"] or {}).get("values"))
+
+def _as_str(v):
+    """StringType: ANY JSON value coerces to its text. Jackson copies
+    the raw token span; we re-serialize compactly — identical except
+    for non-canonical whitespace/number spellings inside nested values,
+    which OTLP producers don't emit."""
+    if v is None or isinstance(v, str):
+        return v
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, int):
+        return str(v)
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _as_long(v):
+    """LongType: only a JSON integer (not bool/float/string) survives."""
+    if isinstance(v, int) and not isinstance(v, bool) and -(2**63) <= v < 2**63:
+        return v
     return None
 
 
-def _attrs_native(attrs: list | None) -> dict | None:
-    """KeyValue list → key-sorted dict of native values (BTreeMap)."""
+def _as_int32(v):
+    """IntegerType: JSON integer within int32 range."""
+    if isinstance(v, int) and not isinstance(v, bool) and -(2**31) <= v < 2**31:
+        return v
+    return None
+
+
+_B64_SHAPE = __import__("re").compile(r"^[A-Za-z0-9+/]*={0,2}$")
+_B64_ALPHA = {
+    c: i
+    for i, c in enumerate(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+    )
+}
+
+
+def _unbase64_lenient(s: str) -> bytes | None:
+    """Spark's UnBase64 semantics (probed): whitespace ignored, any
+    other non-alphabet char → null, '=' only as trailing padding with
+    4-aligned total, unpadded input allowed, a single leftover 6-bit
+    char → null, partial final groups decode with remainder dropped."""
+    s = "".join(s.split())
+    if not _B64_SHAPE.match(s):
+        return None
+    body = s.rstrip("=")
+    if len(s) != len(body) and len(s) % 4:
+        return None
+    if len(body) % 4 == 1:
+        return None
+    bits = nbits = 0
+    out = bytearray()
+    for ch in body:
+        bits = (bits << 6) | _B64_ALPHA[ch]
+        nbits += 6
+        if nbits >= 8:
+            nbits -= 8
+            out.append((bits >> nbits) & 0xFF)
+    return bytes(out)
+
+
+def _as_structlist(v):
+    """array<struct<...>>: a non-list, or any element that is neither
+    an object nor null, nulls the WHOLE array (from_json behavior)."""
+    if not isinstance(v, list):
+        return None
+    for x in v:
+        if x is not None and not isinstance(x, dict):
+            return None
+    return v
+
+
+def _anyvalue(v, depth: int = 3):
+    """OTLP/JSON AnyValue → native Python (the untagged API encoding),
+    mirroring From<any_value::Value> for AttributeValue
+    (otel-worker-core/src/api/models/otel.rs:269-292) with the SQL
+    engine's branch order and coercions: branches are taken on the
+    field value being non-null AFTER schema coercion, and a present-
+    but-uncastable intValue/bytesValue terminates its branch with null
+    rather than falling through. Recursion is bounded by ``depth``
+    exactly like the unrolled Catalyst schema (schemas.ANYVALUE_DEPTH)."""
+    if not isinstance(v, dict):
+        return None
+    s = _as_str(v.get("stringValue"))
+    if s is not None:
+        return s
+    b = v.get("boolValue")
+    if isinstance(b, bool):
+        return b
+    iv = _as_str(v.get("intValue"))
+    if iv is not None:
+        try:
+            n = int(iv)
+        except ValueError:
+            return None
+        return n if -(2**63) <= n < 2**63 else None
+    d = v.get("doubleValue")
+    if isinstance(d, (int, float)) and not isinstance(d, bool):
+        return float(d)
+    bv = _as_str(v.get("bytesValue"))
+    if bv is not None:
+        by = _unbase64_lenient(bv)
+        return list(by) if by is not None else None
+    if depth > 1:
+        av = v.get("arrayValue")
+        if isinstance(av, dict):
+            vals = _as_structlist(av.get("values"))
+            if vals is not None:
+                return [_anyvalue(x, depth - 1) for x in vals]
+        kv = v.get("kvlistValue")
+        if isinstance(kv, dict):
+            d = _attrs_native(kv.get("values"), depth - 1)
+            if d is not None:
+                return d
+    return None
+
+
+def _attrs_native(attrs, depth: int = 3) -> dict | None:
+    """KeyValue list → key-sorted dict of native values (BTreeMap).
+    Null/keyless entries are dropped (a map key cannot be null — the
+    SQL engine filters them identically); duplicate keys keep the LAST
+    value in input order (BTreeMap insert / LAST_WIN parity)."""
+    attrs = _as_structlist(attrs)
     if attrs is None:
         return None
     out = {}
     for kv in attrs:
-        if isinstance(kv, dict) and "key" in kv:
-            out[str(kv["key"])] = _anyvalue(kv.get("value"))
+        if kv is None:
+            continue
+        k = _as_str(kv.get("key"))
+        if k is None:
+            continue
+        out[k] = _anyvalue(kv.get("value"), depth)
     return dict(sorted(out.items()))
 
 
@@ -141,6 +247,7 @@ def _attrs_jsonmap(native: dict | None) -> dict | None:
 
 
 def _hex_id(s) -> str | None:
+    s = _as_str(s)  # StringType coercion first (a numeric id stringifies)
     if not isinstance(s, str) or s == "":
         return None
     return s.lower()
@@ -157,11 +264,13 @@ def _nanos_ts(v) -> datetime | None:
     µs instant falls outside Python's datetime range (year 1..9999)
     quarantine here although Spark's TimestampType could hold a few
     more millennia — irrelevant in practice, noted for parity."""
-    if isinstance(v, float) or v is None:
+    v = _as_str(v)  # StringType coercion (JSON number → its text; the
+    # SQL engine then try_casts the text to long, so "1.5"/"true" null)
+    if v is None:
         return None
     try:
         ns = int(v)
-    except (TypeError, ValueError):
+    except ValueError:
         return None
     if not (-(2**63) < ns < 2**63):
         return None
@@ -322,7 +431,12 @@ _COLUMNS = [
 OUTPUT_SCHEMA = _schema_for(_COLUMNS)
 
 
-def _null_row(doc_id, _tokens, n_tok, source, reason):
+def _null_row(doc_id, _tokens, n_tok, source, reason, ctx: dict | None = None):
+    """One all-null-span row (the explode_outer analog for a missing /
+    null level of the envelope). ``ctx`` carries the parent context the
+    SQL engine's correlated flatten keeps on such rows — resource
+    attributes / service_name when scopeSpans is null, plus scope
+    fields when spans is null."""
     base = dict.fromkeys(_COLUMNS)
     base.update(
         doc_id=doc_id, n_tok=n_tok, source=source,
@@ -331,6 +445,8 @@ def _null_row(doc_id, _tokens, n_tok, source, reason):
         # (data/models.rs:58) even on all-null quarantine rows
         kind="Unspecified",
     )
+    if ctx:
+        base.update(ctx)
     return [base]
 
 
@@ -339,37 +455,82 @@ def _parse_payload(doc_id, payload, n_tok, source, with_inner, need=frozenset(_H
     # yields a null-field struct, the explode_outer chain emits one
     # null-span row, and the reason chain reports invalid_trace_id.
     # Only token/UTF-8 failures are "undecodable_payload".
+    # Every level follows the explode_outer contract: a null OR empty
+    # array yields exactly one null-span row carrying the parent
+    # context, and an array with a non-object element nulls the WHOLE
+    # array (from_json), not just that element.
     try:
         env = json.loads(payload)
     except ValueError:
         env = None
-    resource_spans = env.get("resourceSpans") if isinstance(env, dict) else None
-    if not isinstance(resource_spans, list):
-        resource_spans = []
+    rs_list = _as_structlist(env.get("resourceSpans")) if isinstance(env, dict) else None
+    if not rs_list:  # null or empty → one fully-null row
+        return _null_row(doc_id, None, n_tok, source, "invalid_trace_id")
 
     out: list[dict] = []
-    for rs in resource_spans:
-        if not isinstance(rs, dict):
+    for rs in rs_list:
+        if rs is None:
+            out.extend(_null_row(doc_id, None, n_tok, source, "invalid_trace_id"))
             continue
-        res_native = _attrs_native((rs.get("resource") or {}).get("attributes"))
+        resource = rs.get("resource")
+        res_native = (
+            _attrs_native(resource.get("attributes")) if isinstance(resource, dict) else None
+        )
         res_map = _attrs_jsonmap(res_native) if "resource_attributes" in need else None
         service_name = None
         if res_native and isinstance(res_native.get("service.name"), str):
             service_name = res_native["service.name"]
-        for ss in rs.get("scopeSpans") or []:
-            scope = ss.get("scope") or {}
+        rs_ctx = {"resource_attributes": res_map, "service_name": service_name}
+        ss_list = _as_structlist(rs.get("scopeSpans"))
+        if not ss_list:
+            out.extend(
+                _null_row(doc_id, None, n_tok, source, "invalid_trace_id", rs_ctx)
+            )
+            continue
+        for ss in ss_list:
+            if ss is None:
+                out.extend(
+                    _null_row(doc_id, None, n_tok, source, "invalid_trace_id", rs_ctx)
+                )
+                continue
+            scope = ss.get("scope")
+            if not isinstance(scope, dict):
+                scope = {}
             scope_native = _attrs_native(scope.get("attributes"))
-            for sp in ss.get("spans") or []:
+            sp_list = _as_structlist(ss.get("spans"))
+            if not sp_list:
+                ss_ctx = {
+                    **rs_ctx,
+                    "scope_name": _as_str(scope.get("name")),
+                    "scope_version": _as_str(scope.get("version")),
+                    "scope_attributes": (
+                        _attrs_jsonmap(scope_native) if "scope_attributes" in need else None
+                    ),
+                }
+                out.extend(
+                    _null_row(doc_id, None, n_tok, source, "invalid_trace_id", ss_ctx)
+                )
+                continue
+            for sp in sp_list:
+                if sp is None:
+                    ss_ctx = {
+                        **rs_ctx,
+                        "scope_name": _as_str(scope.get("name")),
+                        "scope_version": _as_str(scope.get("version")),
+                        "scope_attributes": (
+                            _attrs_jsonmap(scope_native) if "scope_attributes" in need else None
+                        ),
+                    }
+                    out.extend(
+                        _null_row(doc_id, None, n_tok, source, "invalid_trace_id", ss_ctx)
+                    )
+                    continue
                 out.append(
                     _span_row(
                         sp, scope, scope_native, res_native, res_map,
                         service_name, doc_id, n_tok, source, with_inner, need,
                     )
                 )
-    if not out:
-        # an envelope that decodes but contains no spans: the explode
-        # engine emits one null-span row (explode_outer) — match it
-        return _null_row(doc_id, None, n_tok, source, "invalid_trace_id")
     return out
 
 
@@ -383,53 +544,79 @@ def _span_row(
     parent = _hex_id(sp.get("parentSpanId"))
     start = _nanos_ts(sp.get("startTimeUnixNano"))
     end = _nanos_ts(sp.get("endTimeUnixNano"))
-    kind = SPAN_KINDS.get(sp.get("kind"), "Unspecified") if sp.get("kind") is not None else "Unspecified"
+    kind_i = _as_int32(sp.get("kind"))
+    kind = SPAN_KINDS.get(kind_i, "Unspecified") if kind_i is not None else "Unspecified"
     status = sp.get("status")
     status_code = None
     status_message = None
     if isinstance(status, dict):
-        code = status.get("code")
-        status_code = STATUS_CODES.get(code, "Unset")
-        status_message = status.get("message")
-    name = sp.get("name")
-    flags = sp.get("flags")
+        # a status object without a (usable) code still means Unset —
+        # proto3 field default, reference Status::code() parity
+        status_code = STATUS_CODES.get(_as_int32(status.get("code")), "Unset")
+        status_message = _as_str(status.get("message"))
+    name = _as_str(sp.get("name"))
+    trace_state = _as_str(sp.get("traceState"))
+    flags = _as_long(sp.get("flags"))
 
+    # events/links arrays follow from_json: a wrong-typed array (or a
+    # non-object element) nulls the whole column; a null ELEMENT yields
+    # an all-null-fields struct (transform over null), and such structs
+    # are skipped in `inner` (their concat fragment nulls out).
+    ev_list = _as_structlist(sp.get("events"))
+    li_list = _as_structlist(sp.get("links"))
     events = []
     events_native = []
     want_events = "events" in need or with_inner
-    for e in (sp.get("events") or []) if want_events else []:
+    for e in (ev_list or []) if want_events else []:
+        if e is None:
+            events.append({"name": None, "timestamp": None, "attributes": None})
+            continue
         e_native = _attrs_native(e.get("attributes"))
         e_ts = _nanos_ts(e.get("timeUnixNano"))
+        e_name = _as_str(e.get("name"))
         events.append(
             {
-                "name": e.get("name"),
+                "name": e_name,
                 "timestamp": e_ts,
                 "attributes": _attrs_jsonmap(e_native),
             }
         )
-        events_native.append(
-            {"name": e.get("name"), "timestamp": _rfc3339(e_ts), "attributes": e_native or {}}
-        )
+        if e_name is not None and e_ts is not None:
+            events_native.append(
+                {"name": e_name, "timestamp": _rfc3339(e_ts), "attributes": e_native or {}}
+            )
     links = []
     links_native = []
     want_links = "links" in need or with_inner
-    for li in (sp.get("links") or []) if want_links else []:
+    for li in (li_list or []) if want_links else []:
+        if li is None:
+            links.append(
+                {"trace_id": None, "span_id": None, "trace_state": None,
+                 "attributes": None, "flags": None}
+            )
+            continue
         li_native = _attrs_native(li.get("attributes"))
+        li_tid = _hex_id(li.get("traceId"))
+        li_sid = _hex_id(li.get("spanId"))
+        li_state = _as_str(li.get("traceState"))
+        li_flags = _as_long(li.get("flags"))
         links.append(
             {
-                "trace_id": _hex_id(li.get("traceId")),
-                "span_id": _hex_id(li.get("spanId")),
-                "trace_state": li.get("traceState"),
+                "trace_id": li_tid,
+                "span_id": li_sid,
+                "trace_state": li_state,
                 "attributes": _attrs_jsonmap(li_native),
-                "flags": li.get("flags"),
+                "flags": li_flags,
             }
         )
-        ld = {"traceId": _hex_id(li.get("traceId")), "spanId": _hex_id(li.get("spanId"))}
-        if li.get("traceState") is not None:
-            ld["traceState"] = li["traceState"]
+        if li_tid is None or li_sid is None:
+            continue  # required fields null → fragment nulls out of inner
+        ld = {"traceId": li_tid, "spanId": li_sid}
+        if li_state is not None:
+            ld["traceState"] = li_state
         ld["attributes"] = li_native or {}
-        if li.get("flags") is not None:
-            ld["flags"] = li["flags"]
+        if li_flags is not None:
+            ld["flags"] = li_flags
         links_native.append(ld)
 
     severity = None
@@ -454,15 +641,15 @@ def _span_row(
         if parent is not None:
             doc["parentSpanId"] = parent
         doc["name"] = name
-        if sp.get("traceState") is not None:
-            doc["traceState"] = sp["traceState"]
+        if trace_state is not None:
+            doc["traceState"] = trace_state
         if flags is not None:
             doc["flags"] = flags
         doc["kind"] = kind
-        if scope.get("name") is not None:
-            doc["scopeName"] = scope["name"]
-        if scope.get("version") is not None:
-            doc["scopeVersion"] = scope["version"]
+        if _as_str(scope.get("name")) is not None:
+            doc["scopeName"] = _as_str(scope.get("name"))
+        if _as_str(scope.get("version")) is not None:
+            doc["scopeVersion"] = _as_str(scope.get("version"))
         doc["startTime"] = _rfc3339(start)
         doc["endTime"] = _rfc3339(end)
         doc["attributes"] = attrs_native or {}
@@ -475,9 +662,9 @@ def _span_row(
             if status_message is not None:
                 s["message"] = status_message
             doc["status"] = s
-        if sp.get("events") is not None:
+        if ev_list is not None:
             doc["events"] = events_native
-        if sp.get("links") is not None:
+        if li_list is not None:
             doc["links"] = links_native
         inner = json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
 
@@ -489,17 +676,17 @@ def _span_row(
         "kind": kind,
         "start_time": start,
         "end_time": end,
-        "trace_state": sp.get("traceState"),
+        "trace_state": trace_state,
         "flags": flags,
-        "scope_name": scope.get("name"),
-        "scope_version": scope.get("version"),
+        "scope_name": _as_str(scope.get("name")),
+        "scope_version": _as_str(scope.get("version")),
         "status_code": status_code,
         "status_message": status_message,
         "attributes": _attrs_jsonmap(attrs_native) if "attributes" in need else None,
         "scope_attributes": _attrs_jsonmap(scope_native) if "scope_attributes" in need else None,
         "resource_attributes": res_map,
-        "events": events if sp.get("events") is not None else None,
-        "links": links if sp.get("links") is not None else None,
+        "events": events if ev_list is not None else None,
+        "links": links if li_list is not None else None,
         "severity": severity,
         "service_name": service_name,
         "doc_id": doc_id,

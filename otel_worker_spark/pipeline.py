@@ -108,9 +108,26 @@ def ingest_batch(
 ) -> dict:
     """Process one micro-batch end-to-end. Returns the batch receipt
     (per-sink counts — the ExportTraceServiceResponse analog)."""
-    if str(batch_id) in stores.spans.committed_batches():
-        # replay after restart: exactly-once, return the original receipt
-        return {**stores.spans.committed_batches()[str(batch_id)], "skipped": True}
+    committed = stores.spans.committed_batches()
+    if str(batch_id) in committed:
+        # Replay after restart: exactly-once, return the original
+        # receipt — but first REPAIR the two downstream stores. If the
+        # process died after the spans commit and before the receipts/
+        # manifest commits, those rows would otherwise be lost forever
+        # behind this early return. Each append is idempotent by
+        # batch_id, so the repair is a no-op when they already landed,
+        # and the check below avoids even launching the jobs then.
+        bid = str(batch_id)
+        if (
+            bid not in stores.receipts.committed_batches()
+            or bid not in stores.manifest.committed_batches()
+        ):
+            routed = stores.spans.read_batch(bid)
+            if routed is not None:
+                live = routed.filter(F.col("signal") != "quarantine")
+                stores.receipts.append(sink_receipts(live, batch_id), batch_id)
+                stores.manifest.append(span_added_manifest(live, batch_id), batch_id)
+        return {**committed[bid], "skipped": True}
 
     routed = transform_batch(token_df, service_lookup)
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)

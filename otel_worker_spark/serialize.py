@@ -65,11 +65,20 @@ def json_unquote(c: Column) -> Column:
 
 
 def _bytes_b64_to_json_array(c: Column) -> Column:
-    """base64 → JSON array of byte numbers (serde's Vec<u8> encoding)."""
-    pairs = F.split(F.hex(F.unbase64(c)), r"(?<=\G..)")
+    """base64 → JSON array of byte numbers (serde's Vec<u8> encoding).
+
+    ``try_to_binary`` nulls invalid base64 instead of raising under
+    ANSI mode; the outer ``when`` keeps that null a NULL (concat_ws
+    would silently swallow it into "[]") so the caller's coalesce can
+    emit JSON ``null`` — the Arrow engine's decoder mirrors Spark's
+    lenient alphabet/padding rules exactly."""
+    bin_ = F.try_to_binary(c, F.lit("base64"))
+    pairs = F.split(F.hex(bin_), r"(?<=\G..)")
     pairs = F.filter(pairs, lambda p: p != F.lit(""))
     nums = F.transform(pairs, lambda p: F.conv(p, 16, 10))
-    return F.concat(F.lit("["), F.concat_ws(",", nums), F.lit("]"))
+    return F.when(
+        bin_.isNotNull(), F.concat(F.lit("["), F.concat_ws(",", nums), F.lit("]"))
+    )
 
 
 def anyvalue_to_json(v: Column, depth: int = ANYVALUE_DEPTH) -> Column:
@@ -81,12 +90,18 @@ def anyvalue_to_json(v: Column, depth: int = ANYVALUE_DEPTH) -> Column:
     """
     branches = F.when(v["stringValue"].isNotNull(), json_quote(v["stringValue"]))
     branches = branches.when(v["boolValue"].isNotNull(), v["boolValue"].cast("string"))
+    # intValue is a decimal string on the wire; an uncastable value must
+    # still terminate THIS branch (emit JSON null) rather than fall
+    # through — and try_cast keeps ANSI mode from aborting the job on a
+    # poison payload (the Arrow engine emits null for the same input).
     branches = branches.when(
-        v["intValue"].isNotNull(), v["intValue"].cast("long").cast("string")
+        v["intValue"].isNotNull(),
+        F.coalesce(v["intValue"].try_cast("long").cast("string"), F.lit("null")),
     )
     branches = branches.when(v["doubleValue"].isNotNull(), json_number(v["doubleValue"]))
     branches = branches.when(
-        v["bytesValue"].isNotNull(), _bytes_b64_to_json_array(v["bytesValue"])
+        v["bytesValue"].isNotNull(),
+        F.coalesce(_bytes_b64_to_json_array(v["bytesValue"]), F.lit("null")),
     )
     if depth > 1:
         arr = v["arrayValue"]["values"]
@@ -124,12 +139,28 @@ def attrs_to_map(attrs: Column, depth: int = ANYVALUE_DEPTH) -> Column:
     """``array<struct<key,value>>`` → key-sorted ``map<string,string>``
     whose values are JSON encodings (P7/P8 in SURVEY §2.2).
 
-    ``array_sort`` on the entry structs sorts by ``key`` first (struct
-    ordering is field-by-field), reproducing BTreeMap iteration order,
-    which ``map_from_entries`` then preserves.
+    ``array_sort`` on (key, input-index) structs sorts by ``key`` first
+    (struct ordering is field-by-field) with the ORIGINAL position as
+    tiebreak, reproducing BTreeMap iteration order AND its
+    last-insert-wins duplicate-key semantics under the session's
+    ``mapKeyDedupPolicy=LAST_WIN`` (the Arrow engine's dict insert
+    behaves identically). Entries with a null key are dropped — a map
+    key cannot be null, and both engines agree on the drop.
     """
-    sorted_entries = F.array_sort(
-        F.transform(attrs, lambda kv: F.struct(kv["key"].alias("key"), anyvalue_to_json(kv["value"], depth).alias("value")))
+    entries = F.filter(
+        F.transform(
+            attrs,
+            lambda kv, i: F.struct(
+                kv["key"].alias("key"),
+                i.alias("idx"),
+                anyvalue_to_json(kv["value"], depth).alias("value"),
+            ),
+        ),
+        lambda e: e["key"].isNotNull(),
+    )
+    sorted_entries = F.transform(
+        F.array_sort(entries),
+        lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
     )
     return F.map_from_entries(sorted_entries)
 
@@ -163,11 +194,19 @@ def _field(name: str, value_json: Column, *, leading_comma: bool = True) -> Colu
 
 def span_inner_json(df_cols: dict[str, Column]) -> Column:
     """Rebuild the ``inner`` column: the full API span as JSON text
-    (From<api::models::Span> for data Span, data/models.rs:47-71).
+    (the role of From<api::models::Span> for data Span,
+    data/models.rs:47-71).
 
     Field order is fixed (struct declaration order); optional fields
-    are omitted when null, matching serde's skip-on-None behavior for
-    Option fields. Attribute maps are key-sorted (BTreeMap parity).
+    are omitted when null; attribute maps are key-sorted (BTreeMap
+    parity). NOTE — deliberate re-design, not byte parity with the
+    reference's serde output: we emit OTLP/JSON-style camelCase field
+    names, omit None options entirely (serde writes explicit nulls for
+    some), and store the status code as its enum STRING ("Ok"), where
+    serde keeps the numeric proto code. The reference's inner blob is
+    an internal storage detail it parses back itself; ours is chosen to
+    round-trip through the same OTLP/JSON vocabulary the wire uses.
+    Both parse engines produce this format byte-identically.
     """
     c = df_cols
 

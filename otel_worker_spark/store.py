@@ -9,9 +9,10 @@ from the per-request all-or-nothing handler (service.rs:32-54).
 This layer provides the *real* version of that contract, set-oriented:
 
 - ``append(df, batch_id)`` writes parquet files then atomically
-  publishes them with one commit-log record (``open(..., 'x')`` — a
-  crash before the log write leaves invisible orphan files, never a
-  partial batch);
+  publishes them with one create-exclusive commit-log record
+  (``os.link`` + seq retry — a crash before the log write leaves
+  invisible orphan files, never a partial batch; concurrent writers
+  retry onto the next seq, never overwrite);
 - appends are **idempotent by batch_id** — replaying a micro-batch
   after a restart is a no-op that returns the original receipt
   (exactly-once sinks for Structured Streaming's foreachBatch);
@@ -62,14 +63,29 @@ class TableStore:
         return out
 
     def _commit(self, entry: dict) -> None:
-        seq = len([n for n in os.listdir(self.log_dir) if n.endswith(".json")])
-        entry["seq"] = seq
+        """Create-exclusive publish with seq retry: ``os.link`` (unlike
+        ``os.rename``, which silently overwrites) fails with
+        FileExistsError when another writer claimed the same seq, so a
+        losing writer re-scans and takes the next slot — no commit is
+        ever lost under concurrent appends (the optimistic-concurrency
+        loop Iceberg runs against its catalog). Readers only ever see
+        fully-written entries: the content is durable in the tmp file
+        before the link makes it visible."""
         entry["committed_at"] = time.time()
-        path = os.path.join(self.log_dir, f"{seq:012d}.json")
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-        os.rename(tmp, path)  # atomic publish
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        while True:
+            names = [n for n in os.listdir(self.log_dir) if n.endswith(".json")]
+            seq = max((int(n.split(".")[0]) for n in names), default=-1) + 1
+            entry["seq"] = seq
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            path = os.path.join(self.log_dir, f"{seq:012d}.json")
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                continue  # lost the race for this seq — take the next
+            os.unlink(tmp)
+            return
 
     def committed_batches(self) -> dict[str, dict]:
         return {e["batch_id"]: e for e in self._entries() if e.get("batch_id") is not None}
@@ -192,6 +208,30 @@ class TableStore:
             if pcol is not None:
                 df = df.withColumn(pcol, F.lit(pval))
             frames.append(df)
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def read_batch(self, batch_id: str | int) -> DataFrame | None:
+        """The rows of ONE committed batch (its files only, partition
+        column re-attached) — the crash-repair path reads this instead
+        of re-running the whole transform on replay."""
+        e = self.committed_batches().get(str(batch_id))
+        if e is None:
+            return None
+        pcol = e.get("partition_by")
+        by_val: dict[str | None, list[str]] = {}
+        for rec in e.get("lineage", []):
+            by_val.setdefault(rec.get("partition"), []).append(rec["file"])
+        frames = []
+        for pval, fs in by_val.items():
+            df = self.spark.read.parquet(*fs)
+            if pcol is not None:
+                df = df.withColumn(pcol, F.lit(pval))
+            frames.append(df)
+        if not frames:
+            return None
         out = frames[0]
         for df in frames[1:]:
             out = out.unionByName(df)
