@@ -177,6 +177,58 @@ def token_sequences_from_events(
     )
 
 
+def protobuf_sequences_from_events(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """The SAME deterministic payload recipe re-encoded as OTLP
+    protobuf wire bytes (S2 fixture): JSON token table → decode →
+    ``proto.encode_export_request`` → protobuf token table.
+
+    The poison rows (event_id % 97 == 0) carry a non-hex traceId that
+    protobuf cannot represent (wire ids are raw bytes — always valid
+    hex after decode), so their analog is a payload prefixed with a
+    field-number-0 tag: guaranteed-malformed wire input exercising the
+    ``undecodable_payload`` quarantine path instead.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .proto import encode_export_request
+
+    tok = token_sequences_from_events(spark, sf_dir, events)
+
+    def kernel(batches):
+        for rb in batches:
+            tok_col = rb.column(rb.schema.get_field_index("tokens"))
+            if isinstance(tok_col, pa.ChunkedArray):
+                tok_col = tok_col.combine_chunks()
+            offsets = tok_col.offsets.to_numpy(zero_copy_only=False)
+            values = tok_col.values.to_numpy(zero_copy_only=False)
+            toks, n_toks = [], []
+            for i in range(rb.num_rows):
+                payload = values[offsets[i] : offsets[i + 1]].astype(np.uint8).tobytes()
+                env = json.loads(payload)
+                try:
+                    wire = encode_export_request(env)
+                except ValueError:  # non-hex id → deterministic poison wire
+                    wire = b"\x00"
+                toks.append(list(wire))
+                n_toks.append(len(wire))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pa.array(toks, pa.list_(pa.int32())),
+                    pa.array(n_toks, pa.int32()),
+                    rb.column(rb.schema.get_field_index("source")),
+                ],
+                names=["doc_id", "tokens", "n_tok", "source"],
+            )
+
+    return tok.mapInArrow(
+        kernel, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
 #: SpanKind / status mappings as shared CASE SQL (P5/P6 oracle side)
 KIND_STR = (
     "CASE event_id % 6 WHEN 0 THEN 'Unspecified' WHEN 1 THEN 'Internal' "

@@ -463,6 +463,14 @@ def _parse_payload(doc_id, payload, n_tok, source, with_inner, need=frozenset(_H
         env = json.loads(payload)
     except ValueError:
         env = None
+    return _walk_envelope(env, doc_id, n_tok, source, with_inner, need)
+
+
+def _walk_envelope(env, doc_id, n_tok, source, with_inner, need=frozenset(_HEAVY)) -> list[dict]:
+    """The shared flatten/normalize walk over an OTLP/JSON-shaped
+    envelope dict — fed by BOTH wire decoders (json.loads here,
+    proto.decode_export_request for S2), so protobuf and JSON payloads
+    go through byte-identical downstream semantics."""
     rs_list = _as_structlist(env.get("resourceSpans")) if isinstance(env, dict) else None
     if not rs_list:  # null or empty → one fully-null row
         return _null_row(doc_id, None, n_tok, source, "invalid_trace_id")

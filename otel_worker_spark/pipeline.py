@@ -72,8 +72,10 @@ def transform_batch(
     reference's one-engine/thin-adapters shape (SURVEY §3.3).
 
     ``engine`` picks the parse implementation: ``"arrow"`` (default —
-    the mapInPandas kernel, measured ~5× faster, see bench.py) or
-    ``"sql"`` (the pure-Catalyst declarative plan). Both produce
+    the mapInArrow kernel, measured faster, see bench.py), ``"sql"``
+    (the pure-Catalyst declarative plan), or ``"protobuf"`` (S2: the
+    token bytes are ExportTraceServiceRequest wire format instead of
+    OTLP/JSON — same walker, same output contract). arrow/sql produce
     identical frames (tests/test_parse_engines.py).
 
     ``with_inner=False`` skips building the ``inner`` JSON column for
@@ -85,6 +87,12 @@ def transform_batch(
         from .parse_arrow import parse_token_sequences_arrow
 
         parsed = parse_token_sequences_arrow(
+            token_df, with_inner=with_inner, columns=columns
+        )
+    elif engine == "protobuf":
+        from .proto import parse_token_sequences_protobuf
+
+        parsed = parse_token_sequences_protobuf(
             token_df, with_inner=with_inner, columns=columns
         )
     else:

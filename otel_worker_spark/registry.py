@@ -115,6 +115,76 @@ FROM spans
 """
 
 
+def pipeline_protobuf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the SAME span set ingested over OTLP protobuf wire bytes —
+    hand-decoded ExportTraceServiceRequest (proto.py), matching
+    handlers/otel.rs:97-106 semantics. Projection excludes n_tok: the
+    wire length of the protobuf encoding differs from the JSON
+    payload's (the oracle derives every other column from events)."""
+    from .fixtures import protobuf_sequences_from_events
+
+    tok = protobuf_sequences_from_events(spark, sf_dir)
+    routed = transform_batch(
+        tok,
+        service_lookup_df(spark),
+        with_inner=False,
+        engine="protobuf",
+        columns=_QUERY_COLS,
+    )
+    return routed.filter("signal != 'quarantine'").select(
+        "doc_id",
+        "source",
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        "severity",
+        "service_name",
+        "flags",
+        "status_code",
+        "status_message",
+        _fmt("start_time", "start_ts"),
+        _fmt("end_time", "end_ts"),
+        "signal",
+    )
+
+
+def pipeline_protobuf_parse_sql() -> str:
+    return f"""
+WITH spans AS ({parsed_spans_sql()})
+SELECT doc_id, source, trace_id, span_id, parent_span_id, name, kind,
+       severity, service_name, flags, status_code, status_message,
+       start_ts, end_ts, signal
+FROM spans
+"""
+
+
+def pipeline_protobuf_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 poison path: malformed wire bytes quarantine as
+    undecodable_payload (protobuf ids are raw bytes, so the JSON
+    fixture's non-hex poison becomes a malformed-wire poison)."""
+    from .fixtures import protobuf_sequences_from_events
+
+    tok = protobuf_sequences_from_events(spark, sf_dir)
+    routed = transform_batch(
+        tok,
+        service_lookup_df(spark),
+        with_inner=False,
+        engine="protobuf",
+        columns=_QUERY_COLS,
+    )
+    return routed.filter("signal = 'quarantine'").select("doc_id", "invalid_reason")
+
+
+def pipeline_protobuf_quarantine_sql() -> str:
+    return """
+SELECT 'evt-' || CAST(event_id AS VARCHAR) AS doc_id,
+       'undecodable_payload' AS invalid_reason
+FROM events WHERE event_id % 97 = 0
+"""
+
+
 def pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 quarantine path: the poison rows, with reasons."""
     return (
@@ -503,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline (SURVEY §2.1-2.6 over the real engine)
         "pipeline_parse_spans": pipeline_parse_spans,
+        "pipeline_protobuf_parse": pipeline_protobuf_parse,
+        "pipeline_protobuf_quarantine": pipeline_protobuf_quarantine,
         "pipeline_quarantine": pipeline_quarantine,
         "pipeline_traces_list": pipeline_traces_list,
         "pipeline_time_filter": pipeline_time_filter,
@@ -544,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_parse_spans": pipeline_parse_spans_sql(),
+        "pipeline_protobuf_parse": pipeline_protobuf_parse_sql(),
+        "pipeline_protobuf_quarantine": pipeline_protobuf_quarantine_sql(),
         "pipeline_quarantine": pipeline_quarantine_sql(),
         "pipeline_traces_list": pipeline_traces_list_sql(),
         "pipeline_time_filter": pipeline_time_filter_sql(),

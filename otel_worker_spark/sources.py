@@ -59,16 +59,38 @@ def read_otlp_json_lines(spark: SparkSession, path: str, source: str = "otlp-jso
     )
 
 
-def read_otlp_protobuf(spark: SparkSession, path: str) -> DataFrame:
+def read_otlp_protobuf(
+    spark: SparkSession, path: str, source: str = "otlp-protobuf"
+) -> DataFrame:
     """S2: OTLP binary protobuf payloads (content-type
-    application/x-protobuf, handlers/otel.rs:97-106).
+    application/x-protobuf — the reference's DEFAULT wire encoding,
+    handlers/otel.rs:97-106) read as whole files.
 
-    The public ``opentelemetry-proto`` package is not available in
-    this environment; decode would be a mapInPandas kernel calling
-    ``ExportTraceServiceRequest.FromString`` per payload and emitting
-    the same envelope JSON the tokenize adapter consumes.
-    """
-    raise NotImplementedError(
-        "opentelemetry-proto is not installed in this environment; "
-        "see docstring for the drop-in decode kernel shape"
+    Emits the parse-ready binary table ``(doc_id, payload, n_tok,
+    source)``; feed it to ``proto.parse_token_sequences_protobuf``
+    (which also accepts token-array input — the hand-rolled wire
+    decoder in proto.py needs no external protobuf package)."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.concat(F.lit("pb-"), F.md5(F.col("content"))).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.octet_length("content").cast("int").alias("n_tok"),
+        F.lit(source).alias("source"),
     )
+
+
+def read_otlp_grpc_note() -> str:
+    """S3: OTLP/gRPC entry point (otel-worker-cli/src/grpc.rs:20-36).
+
+    The reference's gRPC server is a 30-line adapter: tonic decodes the
+    SAME ``ExportTraceServiceRequest`` protobuf message this module's
+    S2 path decodes, then calls the one shared ``Service::ingest_export``.
+    The Spark analog is identical plumbing, not engine work: a gRPC
+    frontend (grpcio server or a collector sidecar) strips the 5-byte
+    gRPC message frame and lands the raw protobuf payload bytes into
+    the S2 binary table (``read_otlp_protobuf`` shape); everything
+    downstream is the already-implemented protobuf parse path. No
+    gRPC runtime ships in this image, so the adapter stays a
+    documented boundary — the wire DECODE it would delegate to is real
+    and tested (tests/test_proto.py)."""
+    return "gRPC = framing adapter over the S2 protobuf decode path"
