@@ -600,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: dd.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_near_pairs(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_verified_pairs": lambda s, d: dd.verified_pairs(_docs(s, d)),
+        "dedup_groups": lambda s, d: dd.dedup_groups(_docs(s, d)),
         "text_stats": lambda s, d: tx.text_stats(_docs(s, d)),
         "text_token_counts": lambda s, d: tx.token_counts(_docs(s, d)),
         "text_lang_id": lambda s, d: tx.lang_id(_docs(s, d)),
@@ -641,6 +643,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dd.simhash_sql(),
         "dedup_simhash_pairs": dd.simhash_near_pairs_sql(),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql(),
+        "dedup_verified_pairs": dd.verified_pairs_sql(),
+        "dedup_groups": dd.dedup_groups_sql(),
         "text_stats": tx.text_stats_sql(),
         "text_token_counts": tx.token_counts_sql(),
         "text_lang_id": tx.lang_id_sql(),

@@ -89,3 +89,66 @@ def test_pricing_summary_partial_agg(spark):
     first_agg = s.index("HashAggregate")
     assert s.count("HashAggregate") >= 2
     assert "Exchange" in s[first_agg:]
+
+
+def test_dedup_pair_paths_have_no_cross_join(spark):
+    """r1 verdict scale-killers: the simhash pair stage and the
+    Jaccard verification stage must plan as banded equi-joins —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from otel_worker_spark.ops import dedup as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        dd.simhash_near_pairs(docs),
+        dd.verified_pairs(docs),
+        dd.minhash_lsh_pairs(docs),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banding_equals_all_pairs(spark):
+    """8×4-bit banding is pigeonhole-complete for Hamming ≤ 7: the
+    banded candidate join must reproduce the brute-force all-pairs
+    result EXACTLY at max_hamming=6."""
+    from pyspark.sql import functions as F
+
+    from otel_worker_spark.ops import dedup as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    banded = dd.simhash_near_pairs(docs, max_hamming=6).toPandas()
+    sigs = dd.simhash(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = (
+        a.crossJoin(b)
+        .where(F.expr("a.doc_id < b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .where("hamming <= 6")
+        .toPandas()
+    )
+    key = ["doc_a", "doc_b"]
+    assert (
+        banded.sort_values(key).reset_index(drop=True)
+        .equals(brute.sort_values(key).reset_index(drop=True))
+    )
+
+
+def test_minhash_production_config(spark):
+    """PROD_PERMS=128/32-band signatures run end-to-end with the
+    xxhash64 production hash and find the planted near-dups."""
+    from otel_worker_spark.ops import dedup as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = dd.minhash_signatures(docs, "xxhash64", n_perms=dd.PROD_PERMS)
+    row = sigs.limit(1).collect()[0]
+    assert len(row.sig) == dd.PROD_PERMS
+    pairs = dd.minhash_lsh_pairs(
+        docs, threshold=0.5, hash_impl="xxhash64",
+        n_perms=dd.PROD_PERMS, n_bands=dd.PROD_BANDS,
+    )
+    assert pairs.count() > 0
