@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes int, "
-    "width int, height int, mean_intensity double, feature array<float>"
+    "width int, height int, intensity_sum long, mean_intensity double, "
+    "feature array<float>"
 )
 
 FEATURE_DIM = 8
@@ -69,25 +70,53 @@ def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
                 "media_type": pdf["media_type"],
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
             }
-            widths, heights, means, feats = [], [], [], []
+            widths, heights, sums, means, feats = [], [], [], [], []
             for payload in pdf["payload"]:
                 a = np.frombuffer(payload, dtype=np.uint8)
                 # --- real decoder goes here (PIL.Image.open etc.) ---
                 side = max(1, int(np.sqrt(a.size)))
                 widths.append(side)
                 heights.append(max(1, a.size // side))
-                means.append(float(a.mean()) if a.size else 0.0)
+                # exact integer byte sum: the hash-verifiable quantity
+                # the DuckDB oracle reproduces (mean is derived float)
+                s = int(a.sum(dtype=np.int64))
+                sums.append(s)
+                means.append(s / a.size if a.size else 0.0)
                 # fake embedding: histogram of byte values, 8 buckets
                 hist, _ = np.histogram(a, bins=FEATURE_DIM, range=(0, 256))
                 denom = max(1, a.size)
                 feats.append((hist / denom).astype(np.float32))
             out["width"] = pd.Series(widths, dtype="int32")
             out["height"] = pd.Series(heights, dtype="int32")
+            out["intensity_sum"] = pd.Series(sums, dtype="int64")
             out["mean_intensity"] = pd.Series(means, dtype="float64")
             out["feature"] = pd.Series(feats)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def media_features_exact(documents: DataFrame) -> DataFrame:
+    """The oracle-checkable per-document projection (r1 verdict item
+    7): every column is exact-integer math over the payload bytes, so
+    a DuckDB oracle reproduces it bit-for-bit (the fixture payloads
+    are ASCII text bytes — ascii codepoint == byte) and the op gets
+    rows+schema+hash verification instead of a rows-only check."""
+    return extract_features(documents_as_media(documents)).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "intensity_sum"
+    )
+
+
+def media_features_exact_sql() -> str:
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+       CAST(length(text) AS INT) AS n_bytes,
+       CAST(greatest(1, floor(sqrt(length(text)))) AS INT) AS width,
+       CAST(greatest(1, length(text) // CAST(greatest(1, floor(sqrt(length(text)))) AS BIGINT)) AS INT) AS height,
+       CAST(coalesce(list_sum([ascii(c) for c in string_split(text, '')]), 0) AS BIGINT) AS intensity_sum
+FROM documents
+"""
 
 
 def media_feature_summary(documents: DataFrame) -> DataFrame:

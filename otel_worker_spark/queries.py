@@ -129,6 +129,69 @@ def mcp_resources_list(spans: DataFrame) -> DataFrame:
     return traces_list(spans, limit=MCP_RESOURCES_PAGE)
 
 
+def build_trace_tree(spans: DataFrame) -> DataFrame:
+    """The trace-tree consumer of the J3 index (r1 verdict item 8):
+    nests spans into the parent/child hierarchy the reference's
+    ``(trace_id, parent_span_id)`` index exists to serve
+    (otel-worker/migrations/20240708_create_spans.sql:16) — the
+    structure a trace-waterfall UI renders.
+
+    Emits one row per span: ``(trace_id, span_id, parent_span_id,
+    depth, path)`` where ``path`` is the '/'-joined span_id chain from
+    the root — a deterministic, hashable serialization of the tree.
+    Rules: a span whose parent is null OR absent from its trace (the
+    parent may have been quarantined) is a root at depth 0; children
+    are visited in sorted(span_id) order; a cycle, impossible in
+    well-formed traces, is broken by the visited set (unreachable
+    spans under a cycle surface as fresh roots so no span is lost).
+
+    Scale shape: ``applyInPandas`` grouped by trace_id — the natural
+    partition key (a trace is small and must be assembled in one
+    place); one shuffle on trace_id, which bucket(trace_id) storage
+    removes. The per-group assembly is O(spans in trace).
+    """
+    import pandas as pd
+
+    def assemble(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        trace_id = pdf["trace_id"].iloc[0]
+        parent = dict(zip(pdf["span_id"], pdf["parent_span_id"]))
+        children: dict[str, list[str]] = {}
+        roots = []
+        for s, p in parent.items():
+            if p is None or (isinstance(p, float)) or p not in parent:
+                roots.append(s)
+            else:
+                children.setdefault(p, []).append(s)
+        rows = []
+        visited: set[str] = set()
+        stack = [(r, 0, r) for r in sorted(roots, reverse=True)]
+        while stack:
+            s, d, path = stack.pop()
+            if s in visited:
+                continue
+            visited.add(s)
+            p = parent.get(s)
+            rows.append((trace_id, s, None if isinstance(p, float) else p, d, path))
+            for c in sorted(children.get(s, []), reverse=True):
+                stack.append((c, d + 1, path + "/" + c))
+        # cycle fallback: anything unreached becomes its own root
+        for s in sorted(set(parent) - visited):
+            p = parent.get(s)
+            rows.append((trace_id, s, None if isinstance(p, float) else p, 0, s))
+        return pd.DataFrame(
+            rows, columns=["trace_id", "span_id", "parent_span_id", "depth", "path"]
+        )
+
+    return (
+        spans.select("trace_id", "span_id", "parent_span_id")
+        .groupBy("trace_id")
+        .applyInPandas(
+            assemble,
+            schema="trace_id string, span_id string, parent_span_id string, depth int, path string",
+        )
+    )
+
+
 def parent_child_spans(spans: DataFrame) -> DataFrame:
     """J3: the self-join the reference indexes for but never ships
     ((trace_id, parent_span_id) index, 20240708_create_spans.sql:16) —

@@ -345,6 +345,33 @@ FROM spans c JOIN spans p
 """
 
 
+def pipeline_trace_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-tree assembly: every span with its depth and root path
+    (the consumer of the reference's (trace_id, parent_span_id)
+    index). Orphans — spans whose parent was quarantined — surface as
+    roots; the fixture plants those via the poisoned root spans."""
+    from .queries import build_trace_tree
+
+    return build_trace_tree(_valid(spark, sf_dir))
+
+
+def pipeline_trace_tree_sql() -> str:
+    return f"""
+WITH RECURSIVE spans AS ({parsed_spans_sql()}),
+tree(trace_id, span_id, parent_span_id, depth, path) AS (
+  SELECT s.trace_id, s.span_id, s.parent_span_id, 0, s.span_id
+  FROM spans s
+  WHERE s.parent_span_id IS NULL
+     OR NOT EXISTS (SELECT 1 FROM spans p
+                    WHERE p.trace_id = s.trace_id AND p.span_id = s.parent_span_id)
+  UNION ALL
+  SELECT c.trace_id, c.span_id, c.parent_span_id, t.depth + 1, t.path || '/' || c.span_id
+  FROM spans c JOIN tree t ON c.trace_id = t.trace_id AND c.parent_span_id = t.span_id
+)
+SELECT trace_id, span_id, parent_span_id, depth, path FROM tree
+"""
+
+
 def pipeline_severity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-style histogram on an extracted attribute column."""
     return (
@@ -583,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_enrich_agg": pipeline_enrich_agg,
         "pipeline_route_receipts": pipeline_route_receipts,
         "pipeline_parent_child": pipeline_parent_child,
+        "pipeline_trace_tree": pipeline_trace_tree,
         "pipeline_severity_hist": pipeline_severity_hist,
         # relational inventory
         "rel_pricing_summary": rel_pricing_summary,
@@ -609,9 +637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
         "ann_lsh_bucket_stats": lambda s, d: sim.lsh_bucket_stats(_embs(s, d)),
         "ann_embedding_near_dup": lambda s, d: sim.embedding_near_dup(_embs(s, d)),
-        # multimodal plumbing (mapInPandas; rows-only check — the fake
-        # decode is Python-side, deliberately not SQL-expressible)
-        "multimodal_features": lambda s, d: mm.media_feature_summary(_docs(s, d)),
+        # multimodal plumbing (mapInPandas): per-doc exact-integer
+        # features, fully oracle-checked; the float summary aggregate
+        # stays a rows-only check (float avg hashing is engine-hostile)
+        "multimodal_features": lambda s, d: mm.media_features_exact(_docs(s, d)),
+        "multimodal_summary": lambda s, d: mm.media_feature_summary(_docs(s, d)),
     }
 
 
@@ -628,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_enrich_agg": pipeline_enrich_agg_sql(),
         "pipeline_route_receipts": pipeline_route_receipts_sql(),
         "pipeline_parent_child": pipeline_parent_child_sql(),
+        "pipeline_trace_tree": pipeline_trace_tree_sql(),
         "pipeline_severity_hist": pipeline_severity_hist_sql(),
         "rel_pricing_summary": rel_pricing_summary_sql(),
         "rel_topk_orders": rel_topk_orders_sql(),
@@ -652,7 +683,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_bucket_stats": sim.lsh_bucket_stats_sql(),
         "ann_embedding_near_dup": sim.embedding_near_dup_sql(),
-        # multimodal_features: intentionally omitted (rows-only check)
+        "multimodal_features": mm.media_features_exact_sql(),
+        # multimodal_summary: intentionally omitted (rows-only check —
+        # its avg() is float; the exact-integer twin above is hashed)
     }
 
 

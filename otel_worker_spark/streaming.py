@@ -110,3 +110,65 @@ def windowed_span_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_span_counts_to_store(
+    spark: SparkSession,
+    source_dir: str,
+    service_lookup: DataFrame,
+    store,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """The production shape of the windowed aggregate (§2.9 closed,
+    r1 verdict item 9): the same watermarked window → per-signal agg,
+    landed in the idempotent-by-batch ``TableStore`` via foreachBatch
+    instead of the memory sink.
+
+    Exactly-once composition: Spark's checkpoint replays an unfinished
+    micro-batch, the store's batch_id dedup makes the replay a no-op —
+    identical to the ingest path's guarantee. Append output mode means
+    each batch carries only CLOSED windows (watermark-expired state),
+    so store rows are final, never updated — the windowed rollup table
+    a dashboard reads directly. The window struct is flattened to
+    (window_start, window_end) columns for a parquet-friendly layout
+    partitionable by window_start at scale.
+    """
+    from pyspark.sql import functions as F
+
+    from .pipeline import transform_batch
+
+    token_stream = (
+        spark.readStream.schema(TOKEN_SEQUENCES_SCHEMA).format("parquet").load(source_dir)
+    )
+    routed = transform_batch(
+        token_stream,
+        service_lookup,
+        with_inner=False,
+        columns=["trace_id", "span_id", "name", "severity", "service_name", "end_time"],
+    )
+    agg = (
+        routed.filter("signal != 'quarantine'")
+        .withWatermark("end_time", watermark)
+        .groupBy(F.window("end_time", window), "signal")
+        .agg(F.count("*").alias("n_spans"), F.sum("n_tok").alias("sum_n_tok"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "signal",
+            "n_spans",
+            "sum_n_tok",
+        )
+    )
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        store.append(batch_df, batch_id=epoch_id)
+
+    return (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

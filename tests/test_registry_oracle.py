@@ -33,7 +33,7 @@ _ORACLES = registry.oracle_sql()
 def test_every_query_has_oracle_or_is_whitelisted():
     no_oracle = set(_QUERIES) - set(_ORACLES)
     # genuinely non-SQL-expressible ops only (driver does rows-only)
-    assert no_oracle <= {"multimodal_features"}
+    assert no_oracle <= {"multimodal_summary"}
     assert set(_ORACLES) <= set(_QUERIES)
 
 

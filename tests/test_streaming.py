@@ -119,3 +119,44 @@ def test_stream_restart_is_exactly_once(spark, tmp_root):
     for entry in stores.spans.lineage():
         if entry["op"] == "append":
             assert sum(f["rows"] for f in entry["files"]) == entry["rows"]
+
+
+def test_windowed_counts_land_in_table_store(spark, tmp_root):
+    """§2.9 production shape: the windowed aggregate lands in the
+    idempotent TableStore sink and matches the memory-sink run; a
+    second run with the same checkpoint adds nothing (exactly-once)."""
+    from otel_worker_spark.store import TableStore
+    from otel_worker_spark.streaming import (
+        windowed_span_counts,
+        windowed_span_counts_to_store,
+    )
+
+    src = os.path.join(tmp_root, "tokens")
+    _write_token_dir(spark, src)
+    lookup = service_lookup_df(spark)
+    store = TableStore(spark, os.path.join(tmp_root, "rollup"))
+    q = windowed_span_counts_to_store(
+        spark, src, lookup, store, os.path.join(tmp_root, "ck1")
+    )
+    q.awaitTermination(120)
+    landed = store.read()
+    q2 = windowed_span_counts(
+        spark, src, lookup, os.path.join(tmp_root, "ck2"), query_name="wsc_store_ref"
+    )
+    q2.awaitTermination(120)
+    ref = spark.sql(
+        "select window.start as window_start, window.end as window_end,"
+        " signal, n_spans, sum_n_tok from wsc_store_ref"
+    )
+    a = sorted(map(tuple, landed.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert a == b and len(a) > 0
+
+    # replay with the same checkpoint: no new rows, no new commits
+    n_commits = len(store.lineage())
+    q3 = windowed_span_counts_to_store(
+        spark, src, lookup, store, os.path.join(tmp_root, "ck1")
+    )
+    q3.awaitTermination(120)
+    assert store.read().count() == len(a)
+    assert len(store.lineage()) == n_commits
