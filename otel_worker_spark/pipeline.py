@@ -46,7 +46,7 @@ CANON_COLS = [
     "end_time", "trace_state", "flags", "scope_name", "scope_version",
     "status_code", "status_message", "attributes", "scope_attributes",
     "resource_attributes", "events", "links", "severity", "service_name",
-    "doc_id", "tokens", "n_tok", "source", "invalid_reason", "inner",
+    "doc_id", "payload", "n_tok", "source", "invalid_reason", "inner",
     "team", "tier", "service_environment", "signal",
 ]
 

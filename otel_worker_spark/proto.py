@@ -451,9 +451,10 @@ def parse_token_sequences_protobuf(
     need_heavy = frozenset(PA._HEAVY & set(emit))
     build_inner = with_inner and "inner" in need_heavy
 
+    carry = "payload" in need_heavy
+
     def kernel(batches):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         types = PA._arrow_types()
         for rb in batches:
@@ -461,7 +462,6 @@ def parse_token_sequences_protobuf(
             binary_col = "payload" in names and "tokens" not in names
             if binary_col:
                 payloads = rb.column(names.index("payload")).to_pylist()
-                tok_col = None
             else:
                 tok_col = rb.column(names.index("tokens"))
                 if isinstance(tok_col, pa.ChunkedArray):
@@ -473,18 +473,15 @@ def parse_token_sequences_protobuf(
             sources = rb.column(names.index("source")).to_pylist() if "source" in names else [None] * rb.num_rows
 
             rows: list[dict] = []
-            idx_map: list[int] = []
             for i in range(rb.num_rows):
                 if binary_col:
                     raw = payloads[i]
                 else:
                     seg = values[offsets[i] : offsets[i + 1]]
                     if seg.size and (seg.min() < 0 or seg.max() > 255):
-                        parsed = PA._null_row(
+                        rows.extend(PA._null_row(
                             doc_ids[i], None, n_toks[i], sources[i], "undecodable_payload"
-                        )
-                        rows.extend(parsed)
-                        idx_map.extend([i] * len(parsed))
+                        ))
                         continue
                     raw = seg.astype(np.uint8).tobytes()
                 try:
@@ -499,17 +496,14 @@ def parse_token_sequences_protobuf(
                     parsed = PA._walk_envelope(
                         env, doc_ids[i], n_toks[i], sources[i], build_inner, need_heavy
                     )
+                if carry:
+                    for r in parsed:
+                        r["payload"] = raw
                 rows.extend(parsed)
-                idx_map.extend([i] * len(parsed))
 
-            arrays = []
-            for col in emit:
-                if col == "tokens" and tok_col is not None:
-                    arrays.append(pc.take(tok_col, pa.array(idx_map, pa.int32())))
-                elif col == "tokens":
-                    arrays.append(pa.array([None] * len(rows), type=pa.list_(pa.int32())))
-                else:
-                    arrays.append(pa.array([r[col] for r in rows], type=types[col]))
+            arrays = [
+                pa.array([r[col] for r in rows], type=types[col]) for col in emit
+            ]
             yield pa.RecordBatch.from_arrays(arrays, names=emit)
 
     return df.mapInArrow(kernel, schema=PA._schema_for(emit))

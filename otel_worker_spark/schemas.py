@@ -217,7 +217,7 @@ SPAN_SINK_COLUMNS = [
     "links",
     "inner",
     "doc_id",
-    "tokens",
+    "payload",  # exact input bytes (token-array equality ⇔ byte equality)
     "n_tok",
     "source",
 ]

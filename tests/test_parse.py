@@ -275,11 +275,14 @@ def test_tokens_roundtrip_and_equality(spark):
     rt = df.select(tokenize_expr(detokenize_expr("tokens")).alias("t")).collect()[0].t
     assert rt == orig
 
-    # pipeline carries tokens through explode/normalize untouched
+    # pipeline carries the exact payload bytes through explode/
+    # normalize untouched (token-array equality ⇔ byte equality under
+    # the identity byte vocab — the payload column IS the tokens)
     good, _ = split_quarantine(parse_token_sequences(df))
-    for r in good.select("tokens", "n_tok").collect():
-        assert r.tokens == orig
+    for r in good.select("payload", "n_tok").collect():
+        assert list(r.payload) == orig
         assert r.n_tok == len(orig)
+        assert bytes(r.payload).decode("utf-8") == payload
 
 
 def test_timestamp_f64_roundtrip(spark):

@@ -32,7 +32,9 @@ def assert_engines_equal(df, with_inner=True):
     )
     assert len(a) == len(b)
     for c in a.columns:
-        av, bv = a[c].astype(str), b[c].astype(str)
+        # map(repr), not astype(str): the payload column holds raw
+        # bytes that need not be valid UTF-8
+        av, bv = a[c].map(repr), b[c].map(repr)
         assert av.equals(bv), (
             f"column {c} differs:\n sql:   {av[av != bv].head(3).tolist()}"
             f"\n arrow: {bv[av != bv].head(3).tolist()}"

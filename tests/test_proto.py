@@ -117,7 +117,8 @@ def test_protobuf_path_matches_json_path(spark):
     the poison analog is malformed wire → undecodable_payload)."""
     json_tok = token_sequences_from_events(spark, SF_DIR).limit(300)
     pb_tok = protobuf_sequences_from_events(spark, SF_DIR).limit(300)
-    drop = ["tokens", "n_tok", "inner"]
+    # payload bytes legitimately differ between wire encodings
+    drop = ["payload", "n_tok", "inner"]
     ja = parse_token_sequences_arrow(json_tok)
     pb = parse_token_sequences_protobuf(pb_tok)
     a = (
@@ -198,7 +199,7 @@ def test_protobuf_binary_column_input(spark):
     out = parse_token_sequences_protobuf(df).toPandas()
     assert len(out) == 2
     assert out["is_valid"].all()
-    assert out["tokens"].isna().all()  # no token column to carry through
+    assert all(bytes(p) == wire for p in out["payload"])  # exact bytes carried
     assert set(out["name"]) == {"GET /api/users", "database.query"}
 
 
