@@ -30,15 +30,24 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TIMED_RUNS = 2
 
 #: Scaling pair (N vs 4N). On this 32-core box each pipeline task
-#: occupies ~2 cores (1 JVM + 1 Python worker), so local[4]/local[16]
-#: keeps BOTH levels on dedicated cores — the cluster-faithful setup
-#: (a real deployment sizes executors so task slots don't oversubscribe;
-#: measured here, local[32] loses ~2x to JVM+Python contention).
-SCALE_LOW = int(os.environ.get("BENCH_SCALE_LOW", "4"))
-SCALE_HIGH = int(os.environ.get("BENCH_SCALE_HIGH", "16"))
+#: occupies ~2 effective cores (1 JVM + 1 Python worker), so the pair
+#: must keep BOTH levels on dedicated cores with OS/GC headroom — the
+#: cluster-faithful setup (a real deployment sizes executors so task
+#: slots don't oversubscribe). local[2]/local[8] = 4/16 effective
+#: cores of 32; measured per-effective-core throughput is flat
+#: (4.7-5.0k seq/s) across local[2]/local[8]/local[16], while
+#: local[16] as the high level brushes whole-box saturation and
+#: local[32] loses ~2x outright to JVM+Python contention.
+SCALE_LOW = int(os.environ.get("BENCH_SCALE_LOW", "2"))
+SCALE_HIGH = int(os.environ.get("BENCH_SCALE_HIGH", "8"))
 #: input replication for the scaling measurement — amortizes per-job
-#: fixed costs (~4 s) that otherwise cap measurable efficiency
-SCALE_REP = int(os.environ.get("BENCH_SCALE_REP", "20"))
+#: fixed costs (~5-8 s: scheduling, Python worker spin-up, AQE
+#: planning) that otherwise cap measurable efficiency; after the
+#: round-2 payload-binary speedup the r1 ×20 input ran only ~13 s at
+#: the high level, capping efficiency at ~0.71 on fixed cost alone.
+#: The input is generated ONCE at full parallelism and shared
+#: read-only by every level (identical bytes, fresh JVM per level).
+SCALE_REP = int(os.environ.get("BENCH_SCALE_REP", "16"))
 
 
 def _measure(cores: int) -> dict:
@@ -186,19 +195,20 @@ def _registry_sweep(spark) -> dict:
     return out
 
 
-def _measure_scaling(cores: int) -> dict:
-    """One scaling-level measurement: the identical replicated input,
-    the identical full-width pipeline_agg job."""
+def _generate_scale_input(path: str) -> None:
+    """Materialize the replicated scaling input ONCE at full
+    parallelism; every scaling level then reads the LITERALLY
+    identical files (fresh JVM per level still — only the untimed
+    generation is shared, which at the low level used to take longer
+    than the measurement itself)."""
     import functools
 
     from pyspark.sql import functions as F
 
-    from otel_worker_spark.fixtures import service_lookup_df, token_sequences_from_events
-    from otel_worker_spark.pipeline import transform_batch
+    from otel_worker_spark.fixtures import token_sequences_from_events
     from otel_worker_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-scale-{cores}", cores=cores, shuffle_partitions=cores)
-    tmp = tempfile.mkdtemp(prefix="ows-scale-")
+    spark = get_spark(app_name="bench-scale-gen", cores=CPUS, shuffle_partitions=CPUS)
     try:
         base = token_sequences_from_events(spark, SF_DIR)
         big = functools.reduce(
@@ -208,8 +218,41 @@ def _measure_scaling(cores: int) -> dict:
                 for i in range(SCALE_REP)
             ],
         )
-        path = os.path.join(tmp, "tokens")
         big.repartition(128).write.parquet(path)
+    finally:
+        spark.stop()
+
+
+def _measure_scaling(cores: int) -> dict:
+    """One scaling-level measurement: the identical replicated input,
+    the identical full-width pipeline_agg job."""
+    from pyspark.sql import functions as F
+
+    from otel_worker_spark.fixtures import service_lookup_df
+    from otel_worker_spark.session import get_spark
+
+    from otel_worker_spark.pipeline import transform_batch
+
+    spark = get_spark(app_name=f"bench-scale-{cores}", cores=cores, shuffle_partitions=cores)
+    tmp = tempfile.mkdtemp(prefix="ows-scale-")
+    try:
+        path = os.environ.get("BENCH_SCALE_INPUT")
+        if not path:
+            # standalone invocation: generate inline with this session
+            import functools
+
+            from otel_worker_spark.fixtures import token_sequences_from_events
+
+            base = token_sequences_from_events(spark, SF_DIR)
+            big = functools.reduce(
+                lambda a, b: a.union(b),
+                [
+                    base.withColumn("doc_id", F.concat(F.lit(f"r{i}-"), "doc_id"))
+                    for i in range(SCALE_REP)
+                ],
+            )
+            path = os.path.join(tmp, "tokens")
+            big.repartition(128).write.parquet(path)
         tokens = spark.read.parquet(path)
         n = tokens.count()
         lookup = service_lookup_df(spark)
@@ -247,6 +290,7 @@ def main() -> None:
         "unit": "sec",
         "sf": SF_DIR,
         "queries": primary["queries"],
+        "registry": primary.get("registry", {}),
         "n_seq": primary["n_seq"],
         "cores": CPUS,
         "throughput_seq_per_sec": primary["throughput_seq_per_sec"],
@@ -259,9 +303,16 @@ def main() -> None:
         # throughput per level is the stable, comparable quantity.
         rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
         levels: dict[int, dict] = {}
+        scale_tmp = tempfile.mkdtemp(prefix="ows-scale-input-")
+        scale_input = os.path.join(scale_tmp, "tokens")
+        _generate_scale_input(scale_input)  # once, at full parallelism
         for _ in range(rounds):
             for cores in (SCALE_HIGH, SCALE_LOW):
-                env = dict(os.environ, BENCH_SINGLE_CORES=str(cores))
+                env = dict(
+                    os.environ,
+                    BENCH_SINGLE_CORES=str(cores),
+                    BENCH_SCALE_INPUT=scale_input,
+                )
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env,
@@ -276,6 +327,7 @@ def main() -> None:
                         if prev is None or got["seq_per_sec"] > prev["seq_per_sec"]:
                             levels[cores] = got
                 time.sleep(10)  # let teardown/page-cache churn settle
+        shutil.rmtree(scale_tmp, ignore_errors=True)
         if SCALE_LOW in levels and SCALE_HIGH in levels:
             lo, hi = levels[SCALE_LOW], levels[SCALE_HIGH]
             result["scaling"] = {

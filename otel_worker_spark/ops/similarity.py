@@ -148,6 +148,158 @@ FROM ({lsh_buckets_sql()}) t GROUP BY 1
 """
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic coarse quantizer: the first ``n_centroids``
+    vectors ARE the centroids (production swaps in k-means-trained
+    centroids — the plumbing below is identical; determinism keeps the
+    DuckDB oracle exact)."""
+    return embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c")
+    )
+
+
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF list assignment: every vector → its nearest centroid
+    (cosine, floor-scaled for cross-engine tie determinism; tiebreak
+    cent_id asc). Plan: broadcast the tiny centroid set, score 16
+    candidates per vector map-side, keep the argmax via window — a
+    narrow pass over the corpus, no shuffle except the window's
+    partition-local sort."""
+    cents = _centroids(embeddings, n_centroids)
+    cos = _cosine_spark("embedding", "c")
+    scored = embeddings.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(f"CAST(floor(1000000.0 * {cos}) AS BIGINT)").alias("sim_u"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_u"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "cent_id", "sim_u")
+    )
+
+
+def ivf_assignments_sql(n_centroids: int = N_CENTROIDS) -> str:
+    cos = _cosine_duck("embedding", "c")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {n_centroids}
+), scored AS (
+  SELECT e.vec_id, cent_id, CAST(floor(1000000.0 * {cos}) AS BIGINT) AS sim_u
+  FROM embeddings e, cents
+)
+SELECT vec_id, cent_id, sim_u FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_u DESC, cent_id ASC) AS rn
+  FROM scored
+) t WHERE rn = 1
+"""
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF approximate top-k: the second ANN scale path next to the
+    hyperplane LSH (SURVEY training-data ops; 'an IVF or LSH-bucketed
+    variant as the scale path').
+
+    Plan shape — the defining property vs brute force: each query
+    probes its ``n_probe`` nearest centroids, and candidates come from
+    an EQUI-JOIN on cent_id against the IVF assignments (1/
+    (n_centroids/n_probe) of the corpus per query on balanced lists),
+    then exact cosine rerank + per-query top-k. No cross join; the
+    probe fan-out is broadcast-sized. Recall is approximate by
+    construction (a true neighbor assigned to an unprobed list is
+    missed) — the oracle replicates the SAME algorithm, so the check
+    is exact."""
+    cents = _centroids(embeddings, n_centroids)
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    # probe lists per query (n_queries × n_centroids scored rows — tiny)
+    qcos = _cosine_spark("q", "c")
+    qscored = queries.join(F.broadcast(cents)).select(
+        "query_id",
+        "q",
+        "cent_id",
+        F.expr(f"CAST(floor(1000000.0 * {qcos}) AS BIGINT)").alias("sim_u"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim_u"), F.asc("cent_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "q", "cent_id")
+    )
+    assigned = ivf_assignments(embeddings, n_centroids).join(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")),
+        F.col("vec_id") == F.col("neighbor_id"),
+    ).select("neighbor_id", "cent_id", "e")
+    cos = _cosine_spark("q", "e")
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cent_id")
+        .where(F.expr("query_id <> neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"CAST(floor(1000000.0 * {cos}) AS BIGINT)").alias("cosine_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_u"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_u")
+    )
+
+
+def ivf_topk_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> str:
+    qcos = _cosine_duck("q", "c")
+    cos = _cosine_duck("q", "e")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {n_centroids}
+), assigned AS ({ivf_assignments_sql(n_centroids)}),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {n_queries}
+), probes AS (
+  SELECT query_id, q, cent_id FROM (
+    SELECT query_id, q, cent_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY CAST(floor(1000000.0 * {qcos}) AS BIGINT) DESC,
+                                       cent_id ASC) AS rn
+    FROM queries, cents
+  ) t WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, e.embedding AS e, p.q
+  FROM probes p JOIN assigned a USING (cent_id)
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, rank, neighbor_id, cosine_u FROM (
+  SELECT query_id, neighbor_id,
+         CAST(floor(1000000.0 * {cos}) AS BIGINT) AS cosine_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(1000000.0 * {cos}) AS BIGINT) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cand
+) t WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup(
     embeddings: DataFrame, threshold: float = 0.35, n_planes: int = 6
 ) -> DataFrame:

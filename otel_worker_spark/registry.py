@@ -637,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
         "ann_lsh_bucket_stats": lambda s, d: sim.lsh_bucket_stats(_embs(s, d)),
         "ann_embedding_near_dup": lambda s, d: sim.embedding_near_dup(_embs(s, d)),
+        "ann_ivf_assignments": lambda s, d: sim.ivf_assignments(_embs(s, d)),
+        "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
         # multimodal plumbing (mapInPandas): per-doc exact-integer
         # features, fully oracle-checked; the float summary aggregate
         # stays a rows-only check (float avg hashing is engine-hostile)
@@ -683,6 +685,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_bucket_stats": sim.lsh_bucket_stats_sql(),
         "ann_embedding_near_dup": sim.embedding_near_dup_sql(),
+        "ann_ivf_assignments": sim.ivf_assignments_sql(),
+        "ann_ivf_topk": sim.ivf_topk_sql(),
         "multimodal_features": mm.media_features_exact_sql(),
         # multimodal_summary: intentionally omitted (rows-only check —
         # its avg() is float; the exact-integer twin above is hashed)
