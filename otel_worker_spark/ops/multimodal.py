@@ -121,15 +121,40 @@ FROM documents
 
 def media_feature_summary(documents: DataFrame) -> DataFrame:
     """documents → media adapter → feature extraction → per-type
-    aggregate (the end-to-end multimodal flow used by the tests and
-    the driver's rows-only check)."""
+    aggregate (the end-to-end multimodal flow).
+
+    Every output column is exact-integer math (integer sums are
+    order-independent across partitions; the intensity ratio is a
+    floor-scaled integer over the group's integer totals), so the
+    DuckDB oracle verifies the whole flow with rows+schema+hash —
+    a float ``avg()`` here would hash-diverge on summation order."""
     feats = extract_features(documents_as_media(documents))
     return (
         feats.groupBy("media_type")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.avg("mean_intensity").alias("avg_intensity"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("intensity_sum").alias("total_intensity"),
+            F.expr(
+                "CAST(floor(1000000.0 * sum(intensity_sum) / sum(n_bytes)) AS BIGINT)"
+            ).alias("intensity_per_byte_u"),
         )
         .orderBy("media_type")
     )
+
+
+def media_feature_summary_sql() -> str:
+    return """
+SELECT media_type, count(*) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(intensity_sum) AS BIGINT) AS total_intensity,
+       CAST(floor(1000000.0 * sum(intensity_sum) / sum(n_bytes)) AS BIGINT) AS intensity_per_byte_u
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+         length(text) AS n_bytes,
+         coalesce(list_sum([ascii(c) for c in string_split(text, '')]), 0) AS intensity_sum
+  FROM documents
+) t
+GROUP BY media_type ORDER BY media_type
+"""

@@ -688,8 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_assignments": sim.ivf_assignments_sql(),
         "ann_ivf_topk": sim.ivf_topk_sql(),
         "multimodal_features": mm.media_features_exact_sql(),
-        # multimodal_summary: intentionally omitted (rows-only check —
-        # its avg() is float; the exact-integer twin above is hashed)
+        "multimodal_summary": mm.media_feature_summary_sql(),
     }
 
 

@@ -32,8 +32,8 @@ _ORACLES = registry.oracle_sql()
 
 def test_every_query_has_oracle_or_is_whitelisted():
     no_oracle = set(_QUERIES) - set(_ORACLES)
-    # genuinely non-SQL-expressible ops only (driver does rows-only)
-    assert no_oracle <= {"multimodal_summary"}
+    # every registry query carries a DuckDB oracle (rows+schema+hash)
+    assert no_oracle == set()
     assert set(_ORACLES) <= set(_QUERIES)
 
 
