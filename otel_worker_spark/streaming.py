@@ -37,13 +37,21 @@ def start_ingest_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    offsets=None,
 ):
     """Start the streaming ingest over a directory of token parquet.
 
     ``available_now`` drains everything currently present then stops —
     batch-incremental mode; pass False for a continuous micro-batch
     stream. Returns the StreamingQuery.
+
+    ``offsets``: optional ``lineage.OffsetLog`` — records per-epoch
+    ingest-rate metrics (rows, wall-clock, rows/s) alongside the
+    checkpoint. File-offset resume itself is owned by Spark's
+    checkpoint here; the OffsetLog is the queryable metrics face.
     """
+    import time as _time
+
     reader = (
         spark.readStream.schema(TOKEN_SEQUENCES_SCHEMA)
         .format("parquet")
@@ -53,7 +61,17 @@ def start_ingest_stream(
     token_stream = reader.load(source_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        ingest_batch(spark, batch_df, service_lookup, stores, batch_id=epoch_id)
+        t0 = _time.perf_counter()
+        receipt = ingest_batch(spark, batch_df, service_lookup, stores, batch_id=epoch_id)
+        if offsets is not None and str(epoch_id) not in offsets.committed_batches():
+            offsets.record(
+                str(epoch_id),
+                [],
+                _time.perf_counter() - t0,
+                sink_partitions=receipt.get("lineage", []),
+                replayed=bool(receipt.get("skipped")),
+                rows=receipt.get("row_count", 0),
+            )
 
     writer = (
         token_stream.writeStream.foreachBatch(process)

@@ -1,0 +1,137 @@
+"""Offset-table resume, per-partition lineage and ingest-rate metrics
+(north rule: "resumable from a checkpointed offset table with
+per-partition lineage and ingest-rate metrics")."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from otel_worker_spark.fixtures import service_lookup_df, token_sequences_from_events
+from otel_worker_spark.lineage import OffsetLog, _batch_id_for, ingest_directory
+from otel_worker_spark.pipeline import PipelineStores
+from otel_worker_spark.streaming import start_ingest_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_token_dir(spark, path: str, n_files: int = 6):
+    tok = token_sequences_from_events(spark, SF_DIR)
+    tok.repartition(n_files).write.mode("overwrite").parquet(path)
+    return tok.count()
+
+
+def test_ingest_directory_end_to_end(spark, tmp_root):
+    src = os.path.join(tmp_root, "tokens")
+    total = _write_token_dir(spark, src, n_files=6)
+    stores = PipelineStores(spark, os.path.join(tmp_root, "stores"))
+    offsets = OffsetLog(spark, os.path.join(tmp_root, "stores"))
+
+    receipts = ingest_directory(
+        spark, src, service_lookup_df(spark), stores, offsets, files_per_batch=2
+    )
+    assert len(receipts) == 3  # 6 files / 2 per batch
+    assert stores.spans.read().count() == total
+
+    # the offset table covers every input file exactly once
+    odf = offsets.offsets_df()
+    assert odf.count() == 6
+    assert odf.select("input_file").distinct().count() == 6
+    assert odf.agg(F.sum("rows")).collect()[0][0] == total
+
+    # ingest-rate metrics: one row per batch, positive rate
+    mdf = offsets.metrics_df()
+    rows = {r["batch_id"]: r for r in mdf.collect()}
+    assert len(rows) == 3
+    assert all(r["rows_per_s"] > 0 for r in rows.values())
+    assert sum(r["input_rows"] for r in rows.values()) == total
+
+    # per-partition (per-sink) lineage: rows land attributed to sinks
+    ldf = offsets.lineage_df()
+    assert ldf.agg(F.sum("rows")).collect()[0][0] == total
+    assert set(
+        r["partition"] for r in ldf.select("partition").distinct().collect()
+    ) >= {"traces"}
+
+
+def test_ingest_directory_resumes_skipping_done_files(spark, tmp_root):
+    src = os.path.join(tmp_root, "tokens")
+    _write_token_dir(spark, src, n_files=4)
+    stores = PipelineStores(spark, os.path.join(tmp_root, "stores"))
+    offsets = OffsetLog(spark, os.path.join(tmp_root, "stores"))
+    lookup = service_lookup_df(spark)
+
+    first = ingest_directory(spark, src, lookup, stores, offsets, files_per_batch=2)
+    assert len(first) == 2 and not any(r["skipped"] for r in first)
+    total = stores.spans.read().count()
+
+    # nothing new → zero batches launched
+    again = ingest_directory(spark, src, lookup, stores, offsets, files_per_batch=2)
+    assert again == []
+    assert stores.spans.read().count() == total
+
+    # drop new files in → only those are ingested
+    extra_dir = os.path.join(tmp_root, "extra")
+    n_extra = _write_token_dir(spark, extra_dir, n_files=2)
+    for n in os.listdir(extra_dir):
+        if n.endswith(".parquet"):
+            os.rename(
+                os.path.join(extra_dir, n), os.path.join(src, "new-" + n)
+            )
+    third = ingest_directory(spark, src, lookup, stores, offsets, files_per_batch=2)
+    assert len(third) == 1 and third[0]["skipped"] is False
+    assert stores.spans.read().count() == total + n_extra
+
+
+def test_crash_between_data_and_offset_commit_repairs(spark, tmp_root):
+    """Simulate dying after the spans commit but before the offset
+    record: the retry must not duplicate rows and must record the
+    offset as replayed."""
+    src = os.path.join(tmp_root, "tokens")
+    total = _write_token_dir(spark, src, n_files=2)
+    stores = PipelineStores(spark, os.path.join(tmp_root, "stores"))
+    offsets = OffsetLog(spark, os.path.join(tmp_root, "stores"))
+    lookup = service_lookup_df(spark)
+
+    # run the data commit exactly as ingest_directory would, but crash
+    # before offsets.record
+    from otel_worker_spark.lineage import _list_input_files
+    from otel_worker_spark.pipeline import ingest_batch
+
+    files = _list_input_files(src)
+    bid = _batch_id_for(files)
+    ingest_batch(spark, spark.read.parquet(*files), lookup, stores, bid)
+    assert offsets.committed_files() == set()
+
+    # retry: same deterministic batch id → store short-circuits,
+    # offset recorded as replayed, zero duplicate rows
+    receipts = ingest_directory(
+        spark, src, lookup, stores, offsets, files_per_batch=len(files)
+    )
+    assert len(receipts) == 1
+    assert receipts[0]["skipped"] is True
+    assert receipts[0]["metrics"]["replayed"] is True
+    assert stores.spans.read().count() == total
+    assert offsets.committed_files() == set(files)
+
+
+def test_streaming_records_rate_metrics(spark, tmp_root):
+    src = os.path.join(tmp_root, "tokens")
+    total = _write_token_dir(spark, src, n_files=4)
+    stores = PipelineStores(spark, os.path.join(tmp_root, "stores"))
+    offsets = OffsetLog(spark, os.path.join(tmp_root, "stores"))
+    q = start_ingest_stream(
+        spark,
+        src,
+        service_lookup_df(spark),
+        stores,
+        checkpoint_dir=os.path.join(tmp_root, "ckpt"),
+        max_files_per_trigger=2,
+        offsets=offsets,
+    )
+    q.awaitTermination(120)
+    mdf = offsets.metrics_df()
+    got = mdf.agg(F.sum("input_rows")).collect()[0][0]
+    assert got == total
+    assert all(r["rows_per_s"] > 0 for r in mdf.collect())
