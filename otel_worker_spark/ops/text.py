@@ -160,6 +160,148 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def _grams_expr(n: int) -> str:
+    """Word n-gram array (Spark SQL). Guarded: fewer than ``n`` words
+    yields an EMPTY array — ``sequence(1, 0)`` would count DOWN."""
+    toks = f"filter({_tokens_expr('text')}, w -> w <> '')"
+    return (
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
+    )
+
+
+def _grams_sql(n: int) -> str:
+    """The DuckDB twin of ``_grams_expr`` (1-based inclusive slices)."""
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+    return (
+        f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({toks}) - {n} + 2)]"
+    )
+
+
+def repetition(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition stats on word n-grams: how much of each
+    document is duplicated n-grams, and how dominant the single most
+    frequent n-gram is (Rae et al. 2021 §A1.1 use line/paragraph and
+    top-n-gram fractions; these documents are single-line, so the
+    n-gram form is the operative one).
+
+    Scale shape: explode → count per (doc_id, gram) → per-doc agg.
+    Two shuffles on (doc_id[, gram]) with map-side partial aggregation
+    on both; no per-doc quadratic work (an in-array frequency count
+    via filter() would be O(d²) per document). Docs shorter than ``n``
+    words drop out (no grams), mirrored by the oracle.
+    """
+    g = documents.select(
+        "doc_id", F.explode(F.expr(_grams_expr(n))).alias("gram")
+    )
+    counts = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("top_gram_cnt"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+                "dup_gram_mass"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "top_gram_cnt",
+            "dup_gram_mass",
+            F.expr("CAST(floor(1000.0 * dup_gram_mass / n_grams) AS INT)").alias(
+                "dup_frac_m"
+            ),
+            F.expr("CAST(floor(1000.0 * top_gram_cnt / n_grams) AS INT)").alias(
+                "top_frac_m"
+            ),
+        )
+    )
+
+
+def repetition_sql(n: int = 2) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({_grams_sql(n)}) AS gram FROM documents
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       max(cnt) AS top_gram_cnt,
+       CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_gram_mass,
+       CAST(floor(1000.0 * sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) / sum(cnt)) AS INT) AS dup_frac_m,
+       CAST(floor(1000.0 * max(cnt) / sum(cnt)) AS INT) AS top_frac_m
+FROM c GROUP BY doc_id
+"""
+
+
+#: which documents play the "held-out eval benchmark" in the
+#: decontamination check (deterministic: one of the 20 sources)
+EVAL_SOURCE = "src0"
+
+
+def decontaminate(documents: DataFrame, n: int = 3, eval_source: str = EVAL_SOURCE) -> DataFrame:
+    """Training-set decontamination: flag training documents sharing
+    word n-grams with a held-out eval set (the standard 13-gram
+    overlap check of GPT-3 appendix C / PaLM, at fixture-friendly
+    ``n``). Eval set = documents from ``eval_source``; training set =
+    everything else.
+
+    Scale shape: the eval side is benchmarks — tiny vs the corpus — so
+    its distinct-gram set is BROADCAST; the training side explodes
+    distinct grams and left-joins without a shuffle of the corpus.
+    Per-doc rollup is the only wide exchange.
+    """
+    eval_grams = (
+        documents.filter(F.col("source") == eval_source)
+        .select(F.explode(F.expr(f"array_distinct({_grams_expr(n)})")).alias("gram"))
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    train = documents.filter(F.col("source") != eval_source).select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_grams_expr(n)})")).alias("gram")
+    )
+    joined = train.join(F.broadcast(eval_grams), "gram", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum(F.coalesce("contaminated", F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            "n_contaminated",
+            F.expr(
+                "CAST(floor(1000.0 * n_contaminated / n_distinct_grams) AS INT)"
+            ).alias("contamination_m"),
+            (F.col("n_contaminated") > 0).alias("flagged"),
+        )
+    )
+
+
+def decontaminate_sql(n: int = 3, eval_source: str = EVAL_SOURCE) -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT unnest(list_distinct({_grams_sql(n)})) AS gram
+  FROM documents WHERE source = '{eval_source}'
+), t AS (
+  SELECT doc_id, unnest(list_distinct({_grams_sql(n)})) AS gram
+  FROM documents WHERE source <> '{eval_source}'
+)
+SELECT t.doc_id,
+       count(*) AS n_distinct_grams,
+       count(e.gram) AS n_contaminated,
+       CAST(floor(1000.0 * count(e.gram) / count(*)) AS INT) AS contamination_m,
+       count(e.gram) > 0 AS flagged
+FROM t LEFT JOIN e ON t.gram = e.gram
+GROUP BY t.doc_id
+"""
+
+
 def fingerprint_sql() -> str:
     return f"""
 SELECT doc_id,

@@ -39,6 +39,7 @@ from .ops import dedup as dd
 from .ops import multimodal as mm
 from .ops import similarity as sim
 from .ops import text as tx
+from .ops import timeseries as ts
 from .pipeline import transform_batch
 from .queries import traces_list
 
@@ -621,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_topn": rel_window_topn,
         "rel_distinct_agg": rel_distinct_agg,
         "rel_events_window_agg": rel_events_window_agg,
+        "rel_sessionize": lambda s, d: ts.sessionize(_t(s, d, "events")),
+        "rel_asof_join": lambda s, d: ts.asof_join(_t(s, d, "events")),
         # training-data ops
         "dedup_exact": lambda s, d: dd.dedup_exact(_docs(s, d)),
         "dedup_minhash_sig": lambda s, d: dd.minhash_signatures_flat(_docs(s, d)),
@@ -634,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": lambda s, d: tx.token_counts(_docs(s, d)),
         "text_lang_id": lambda s, d: tx.lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: tx.fingerprint(_docs(s, d)),
+        "text_repetition": lambda s, d: tx.repetition(_docs(s, d)),
+        "text_decontaminate": lambda s, d: tx.decontaminate(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
         "ann_lsh_bucket_stats": lambda s, d: sim.lsh_bucket_stats(_embs(s, d)),
         "ann_embedding_near_dup": lambda s, d: sim.embedding_near_dup(_embs(s, d)),
@@ -670,6 +675,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_window_topn": rel_window_topn_sql(),
         "rel_distinct_agg": rel_distinct_agg_sql(),
         "rel_events_window_agg": rel_events_window_agg_sql(),
+        "rel_sessionize": ts.sessionize_sql(),
+        "rel_asof_join": ts.asof_join_sql(),
         "dedup_exact": dd.dedup_exact_sql(),
         "dedup_minhash_sig": dd.minhash_signatures_flat_sql(),
         "dedup_minhash_lsh_pairs": dd.minhash_lsh_pairs_sql(),
@@ -682,6 +689,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": tx.token_counts_sql(),
         "text_lang_id": tx.lang_id_sql(),
         "text_fingerprint": tx.fingerprint_sql(),
+        "text_repetition": tx.repetition_sql(),
+        "text_decontaminate": tx.decontaminate_sql(),
         "ann_cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_bucket_stats": sim.lsh_bucket_stats_sql(),
         "ann_embedding_near_dup": sim.embedding_near_dup_sql(),
