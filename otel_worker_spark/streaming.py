@@ -130,6 +130,131 @@ def windowed_span_counts(
     )
 
 
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap_s: int = 1800,
+    query_name: str = "stream_sessions",
+):
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``ops.timeseries.sessionize`` (same session definition, same
+    output row per closed session).
+
+    State per user: the open session's (start, last_ts, n_events,
+    n_event_types is approximated exactly by carrying the distinct
+    type set — bounded: ≤5 types). A session CLOSES when a later event
+    arrives more than ``gap_s`` after its last event (emitted
+    immediately), or when the event-time watermark passes
+    ``last_ts + gap_s`` (state timeout → emitted and evicted). State
+    is therefore O(open sessions) = O(active users), constant per
+    user — the property that keeps a 10^12-row stream's state bounded.
+
+    Scale shape: one hash exchange on user_id (same as the batch twin)
+    feeding Arrow-batched per-group kernels; no collect, no global
+    sort. Output: append-mode closed sessions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    EVENTS_SCHEMA = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, n_event_types long, value_c long"
+    )
+    state_schema = (
+        "start long, last long, n_events long, value_c long, types string"
+    )
+    gap_us = gap_s * 1_000_000
+
+    def _emit(state_tuple):
+        start, last, n, vc, types = state_tuple
+        return {
+            "session_start": pd.Timestamp(start, unit="us"),
+            "session_end": pd.Timestamp(last, unit="us"),
+            "n_events": n,
+            "n_event_types": len(types.split(",")) if types else 0,
+            "value_c": vc,
+        }
+
+    def kernel(key, batches, state: GroupState):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                closed.append(_emit(tuple(state.get)))
+                state.remove()
+        else:
+            events = pd.concat(list(batches), ignore_index=True)
+            events = events.sort_values(["ts", "event_id"])
+            cur = tuple(state.get) if state.exists else None
+            import math
+
+            for ts_val, etype, value in zip(
+                events["ts"], events["event_type"], events["value"]
+            ):
+                us = ts_val.value // 1000  # ns → µs
+                # HALF_UP like Spark SQL round() — Python round() is
+                # banker's and would diverge from the batch twin
+                v100 = 100 * value
+                vc = int(math.floor(v100 + 0.5)) if v100 >= 0 else int(
+                    math.ceil(v100 - 0.5)
+                )
+                if cur is None:
+                    cur = (us, us, 1, vc, etype)
+                elif us - cur[1] > gap_us:
+                    closed.append(_emit(cur))
+                    cur = (us, us, 1, vc, etype)
+                else:
+                    types = cur[4]
+                    if etype not in types.split(","):
+                        types = types + "," + etype if types else etype
+                    cur = (cur[0], us, cur[2] + 1, cur[3] + vc, types)
+            if cur is not None:
+                state.update(cur)
+                # evict when the watermark passes the gap horizon
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_s * 1000)
+        if closed:
+            out = pd.DataFrame(closed)
+            out.insert(0, "user_id", user_id)
+            yield out
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(source_dir)
+    )
+    sessions = (
+        events.withWatermark("ts", f"{gap_s} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            kernel,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_span_counts_to_store(
     spark: SparkSession,
     source_dir: str,

@@ -152,3 +152,37 @@ def test_minhash_production_config(spark):
         n_perms=dd.PROD_PERMS, n_bands=dd.PROD_BANDS,
     )
     assert pairs.count() > 0
+
+
+def test_sessionize_single_exchange(spark):
+    """Sessionize: the windows and the session rollup must share ONE
+    user_id hash exchange — a second exchange would double-shuffle
+    every event at 10^12 scale."""
+    from otel_worker_spark.ops.timeseries import sessionize
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s = plan_of(sessionize(e))
+    assert s.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    """As-of join: one user_id exchange, no join node at all (the
+    union-merge form) — a range/theta join here is the O(n*m)
+    scale-killer."""
+    from otel_worker_spark.ops.timeseries import asof_join
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s = plan_of(asof_join(e))
+    assert s.count("Exchange hashpartitioning") == 1
+    assert "Join" not in s and "CartesianProduct" not in s
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Decontamination: the (small) eval gram set must broadcast; the
+    training corpus must reach the join without an exchange."""
+    from otel_worker_spark.ops.text import decontaminate
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = plan_of(decontaminate(d))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
