@@ -7,6 +7,9 @@ Run on a cluster as:
         --tokens /data/token_sequences --stores /data/otel \\
         --checkpoint /data/otel/_ckpt [--stream]
 
+    spark-submit ... jobs.py ingest --resume --tokens /data/token_sequences \\
+        --stores /data/otel          (resumable: skips committed offsets)
+    spark-submit ... jobs.py ingest-metrics --stores /data/otel
     spark-submit ... jobs.py traces-list --stores /data/otel --limit 20
     spark-submit ... jobs.py delete-trace --stores /data/otel --trace-id <hex>
     spark-submit ... jobs.py bench           (local benchmarking, see bench.py)
@@ -26,6 +29,7 @@ import re
 import sys
 
 from otel_worker_spark.fixtures import service_lookup_df
+from otel_worker_spark.lineage import OffsetLog, ingest_directory
 from otel_worker_spark.parse import HEX_RE
 from otel_worker_spark.pipeline import PipelineStores, ingest_batch
 from otel_worker_spark.queries import NotFound, trace_get, traces_list
@@ -41,16 +45,44 @@ def cmd_ingest(args) -> None:
     spark = get_spark("ingest")
     stores = _stores(spark, args.stores)
     lookup = service_lookup_df(spark)
+    offsets = OffsetLog(spark, args.stores)
     if args.stream:
         q = start_ingest_stream(
             spark, args.tokens, lookup, stores,
             checkpoint_dir=args.checkpoint, available_now=not args.continuous,
+            offsets=offsets,
         )
         q.awaitTermination()
+    elif args.resume:
+        # resumable batch ingest from the checkpointed offset table:
+        # files already covered by a committed offset are skipped
+        receipts = ingest_directory(
+            spark, args.tokens, lookup, stores, offsets,
+            files_per_batch=args.files_per_batch,
+        )
+        for r in receipts:
+            print(json.dumps({
+                "batch_id": r["batch_id"], "row_count": r["row_count"],
+                "skipped": r["skipped"],
+                "rows_per_s": r["metrics"]["rows_per_s"],
+            }))
     else:
         tokens = spark.read.parquet(args.tokens)
         receipt = ingest_batch(spark, tokens, lookup, stores, batch_id=args.batch_id)
         print(json.dumps({k: receipt[k] for k in ("batch_id", "row_count", "skipped")}))
+
+
+def cmd_ingest_metrics(args) -> None:
+    """Per-batch ingest-rate metrics + per-sink lineage from the
+    offset table (the north rule's observability face)."""
+    spark = get_spark("ingest-metrics")
+    offsets = OffsetLog(spark, args.stores)
+    for row in offsets.metrics_df().collect():
+        print(json.dumps(row.asDict()))
+    for row in (
+        offsets.lineage_df().groupBy("partition").sum("rows").collect()
+    ):
+        print(json.dumps({"partition": row[0], "rows": row[1]}))
 
 
 def cmd_traces_list(args) -> None:
@@ -106,7 +138,13 @@ def main() -> None:
     pi.add_argument("--batch-id", default="0")
     pi.add_argument("--stream", action="store_true")
     pi.add_argument("--continuous", action="store_true")
+    pi.add_argument("--resume", action="store_true")
+    pi.add_argument("--files-per-batch", type=int, default=16)
     pi.set_defaults(fn=cmd_ingest)
+
+    pm = sub.add_parser("ingest-metrics")
+    pm.add_argument("--stores", required=True)
+    pm.set_defaults(fn=cmd_ingest_metrics)
 
     pl = sub.add_parser("traces-list")
     pl.add_argument("--stores", required=True)
