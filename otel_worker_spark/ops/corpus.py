@@ -1,0 +1,507 @@
+"""Corpus-curation operators: the batch ops a training-data pipeline
+runs between raw documents and a tokenized training set — sequence
+packing, quality filtering, split assignment, global n-gram stats,
+TF-IDF keywords, Bloom-filter decontamination, passage-level dedup,
+and PII redaction.
+
+Design rules match the rest of ``ops/``: Spark side is pure built-in
+Catalyst expressions (HOFs, window functions, broadcast joins — no
+Python in the hot path); every op ships its DuckDB oracle twin in this
+module; float-ish outputs are floor-scaled integers so both engines
+agree bit-for-bit.
+
+Scale shapes (the 100 TB story, per op):
+
+- ``pack_chunks``: one window aggregation PARTITIONED BY source — the
+  classic "concat and chunk" LM packing (GPT-style). Each source packs
+  independently and in parallel; a production layout shards hot
+  sources into (source, shard) buckets so no window partition exceeds
+  executor memory, then stitches shard boundaries with one tiny
+  per-shard offset pass (same cumsum algebra, applied to shard totals).
+- ``quality_filter`` / ``split_assign`` / ``pii_redact``: narrow maps,
+  zero shuffle, pipeline with any downstream op.
+- ``ngram_topk``: explode → partial+final hash agg → TakeOrdered; the
+  gram key is near-uniform, the top-k never materializes a global sort.
+- ``tfidf_topk``: two hash aggs (doc-term, term) + a broadcast of the
+  single-row corpus count; per-doc top-k via a window partitioned by
+  doc_id (bounded partitions by construction).
+- ``bloom_decontaminate``: the eval side collapses to a distinct set
+  of k·|grams| small ints (the Bloom bit set) that BROADCASTS; the
+  corpus side probes it without shuffling a single gram string — the
+  reason real pipelines bloom-ize contamination checks.
+- ``passage_dedup``: digest groupBy (uniform key, one shuffle) + a
+  shuffle join back on digest — CCNet-style paragraph dedup with
+  fixed word windows standing in for paragraphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .common import MERSENNE31
+from .text import STOPWORDS, _grams_expr, _grams_sql
+
+#: whitespace words, empties dropped (Spark / DuckDB twins)
+_WORDS = "filter(split(trim(text), '\\\\s+'), w -> w <> '')"
+_WORDS_DUCK = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+
+# ----------------------------------------------------------- packing
+
+PACK_CAPACITY = 64
+
+
+def pack_chunks(documents: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in doc_id
+    order within each ``source`` and cut fixed-``capacity`` token
+    chunks; documents straddle chunk boundaries. Emits one row per
+    (doc, chunk) span: which chunk, at what offset, how many tokens.
+
+    Exactly-conserving by construction: per doc the spans sum to its
+    token count; every chunk except a source's last holds exactly
+    ``capacity`` tokens (asserted in tests).
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        documents.select(
+            "doc_id", "source", F.expr(f"size({_WORDS})").cast("long").alias("n_tokens")
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("cum_end", F.sum("n_tokens").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    )
+    spans = base.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "cum_start",
+        "cum_end",
+        F.explode(
+            F.expr(f"sequence(cum_start div {capacity}, (cum_end - 1) div {capacity})")
+        ).alias("chunk_id"),
+    )
+    seg_start = F.greatest("cum_start", F.col("chunk_id") * capacity)
+    seg_end = F.least("cum_end", (F.col("chunk_id") + 1) * capacity)
+    return spans.select(
+        "source",
+        "chunk_id",
+        "doc_id",
+        "n_tokens",
+        (seg_start - F.col("chunk_id") * capacity).alias("chunk_offset"),
+        (seg_end - seg_start).alias("n_in_chunk"),
+    )
+
+
+def pack_chunks_sql(capacity: int = PACK_CAPACITY) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents WHERE len({_WORDS_DUCK}) > 0
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM base
+), s AS (
+  SELECT source, doc_id, n_tokens, cum_end - n_tokens AS cum_start, cum_end,
+         unnest(range((cum_end - n_tokens) // {capacity}, (cum_end - 1) // {capacity} + 1)) AS chunk_id
+  FROM c
+)
+SELECT source, chunk_id, doc_id, n_tokens,
+       greatest(cum_start, chunk_id * {capacity}) - chunk_id * {capacity} AS chunk_offset,
+       least(cum_end, (chunk_id + 1) * {capacity}) - greatest(cum_start, chunk_id * {capacity}) AS n_in_chunk
+FROM s
+"""
+
+
+# ----------------------------------------------------- quality filter
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1 shape, tuned to
+#: the fixture corpus so both keep and drop outcomes occur)
+QF_MIN_TOKENS = 15
+QF_MAX_TOKENS = 120
+QF_MIN_MWL_M = 3000   # mean word length ≥ 3.0 chars
+QF_MAX_MWL_M = 8000   # ≤ 8.0 chars
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """Rule-based quality gate: token-count bounds, mean-word-length
+    bounds, must contain at least one stopword. ``reason`` is the
+    FIRST failing rule in a fixed order (NULL = keep)."""
+    stop = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    d = documents.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({_WORDS})").alias("n_tokens"),
+        F.expr(
+            f"CAST(floor(1000.0 * length(regexp_replace(text, '\\\\s', '')) / size({_WORDS})) AS INT)"
+        ).alias("mean_wlen_m"),
+        F.expr(f"size(filter({_WORDS}, w -> w IN {stop}))").alias("stopword_hits"),
+    )
+    reason = F.expr(
+        f"CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' "
+        f"WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long' "
+        f"WHEN mean_wlen_m < {QF_MIN_MWL_M} THEN 'words_too_short' "
+        f"WHEN mean_wlen_m > {QF_MAX_MWL_M} THEN 'words_too_long' "
+        f"WHEN stopword_hits = 0 THEN 'no_stopwords' END"
+    )
+    return d.select(
+        "doc_id", "source", "n_tokens", "mean_wlen_m", "stopword_hits",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def quality_filter_sql() -> str:
+    stop = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len({_WORDS_DUCK}) AS n_tokens,
+         CAST(floor(1000.0 * length(regexp_replace(text, '\\s', '', 'g')) / len({_WORDS_DUCK})) AS INT) AS mean_wlen_m,
+         len(list_filter({_WORDS_DUCK}, w -> w IN {stop})) AS stopword_hits
+  FROM documents
+)
+SELECT doc_id, source, n_tokens, mean_wlen_m, stopword_hits,
+       CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+            WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long'
+            WHEN mean_wlen_m < {QF_MIN_MWL_M} THEN 'words_too_short'
+            WHEN mean_wlen_m > {QF_MAX_MWL_M} THEN 'words_too_long'
+            WHEN stopword_hits = 0 THEN 'no_stopwords' END AS drop_reason,
+       (CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+            WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long'
+            WHEN mean_wlen_m < {QF_MIN_MWL_M} THEN 'words_too_short'
+            WHEN mean_wlen_m > {QF_MAX_MWL_M} THEN 'words_too_long'
+            WHEN stopword_hits = 0 THEN 'no_stopwords' END) IS NULL AS keep
+FROM d
+"""
+
+
+# ------------------------------------------------------ split assign
+
+SPLIT_BUCKETS = (800, 900)  # train < 800 ≤ val < 900 ≤ test, of 1000
+
+
+def split_assign(documents: DataFrame) -> DataFrame:
+    """Deterministic hash split (train/val/test): bucket =
+    md5('split' || doc_id) mod 1000 — stable under re-runs, new data,
+    and reshuffling, which is why hash splits (not row_number splits)
+    are the production idiom."""
+    bucket = F.expr(
+        f"(CAST(conv(substring(md5(concat('split', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)) % 1000"
+    )
+    return documents.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+    ).withColumn(
+        "split",
+        F.expr(
+            f"CASE WHEN bucket < {SPLIT_BUCKETS[0]} THEN 'train' "
+            f"WHEN bucket < {SPLIT_BUCKETS[1]} THEN 'val' ELSE 'test' END"
+        ),
+    )
+
+
+def split_assign_sql() -> str:
+    return f"""
+SELECT doc_id, source,
+       (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) AS bucket,
+       CASE WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) < {SPLIT_BUCKETS[0]} THEN 'train'
+            WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) < {SPLIT_BUCKETS[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ------------------------------------------------------- ngram top-k
+
+NGRAM_N = 3
+NGRAM_K = 50
+
+
+def ngram_topk(documents: DataFrame, n: int = NGRAM_N, k: int = NGRAM_K) -> DataFrame:
+    """Global top-k word n-grams (corpus LM statistics). Deterministic
+    tiebreak (count desc, gram asc); the plan is partial+final hash agg
+    then TakeOrderedAndProject — no global sort materializes."""
+    counts = (
+        documents.select(F.explode(F.expr(_grams_expr(n))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
+    return counts.select("gram", "cnt", F.row_number().over(w).alias("rank"))
+
+
+def ngram_topk_sql(n: int = NGRAM_N, k: int = NGRAM_K) -> str:
+    return f"""
+WITH g AS (SELECT unnest({_grams_sql(n)}) AS gram FROM documents),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+SELECT gram, cnt, row_number() OVER (ORDER BY cnt DESC, gram) AS rank
+FROM c ORDER BY cnt DESC, gram LIMIT {k}
+"""
+
+
+# ------------------------------------------------------- tf-idf top-k
+
+TFIDF_K = 5
+
+
+def tfidf_topk(documents: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF. The idf is the
+    integer-exact ``(10^6 · N) div df`` (floor division in both
+    engines — no libm ``ln`` whose last bits differ across engines);
+    ranking by ``tf · idf_m`` preserves the tf·(N/df) order. N arrives
+    via a broadcast single-row cross join, not a driver collect."""
+    terms = documents.select("doc_id", F.explode(F.expr(_WORDS)).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.expr("(1000000 * n_docs) div df").alias("idf_m"),
+        )
+        .withColumn("score", F.col("tf") * F.col("idf_m"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "idf_m", "score", "rank")
+    )
+
+
+def tfidf_topk_sql(k: int = TFIDF_K) -> str:
+    return f"""
+WITH terms AS (SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         (1000000 * n.n_docs) // df.df AS idf_m,
+         tf.tf * ((1000000 * n.n_docs) // df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, idf_m, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+) r WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------- bloom decontamination
+
+BLOOM_M = 8192   # bits
+BLOOM_K = 3      # hash functions
+BLOOM_N = 3      # word n-gram size (shared with text.decontaminate)
+BLOOM_EVAL_SOURCE = "src0"
+
+
+def _bloom_pos_spark(gram_expr: str, i: int, m: int) -> str:
+    return (
+        f"(CAST(conv(substring(md5(concat('b{i}', {gram_expr})), 1, 15), 16, 10) AS BIGINT) % {m})"
+    )
+
+
+def _bloom_pos_duck(gram_expr: str, i: int, m: int) -> str:
+    return f"(('0x' || substr(md5('b{i}' || {gram_expr}), 1, 15))::BIGINT % {m})"
+
+
+def bloom_decontaminate(
+    documents: DataFrame,
+    n: int = BLOOM_N,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    eval_source: str = BLOOM_EVAL_SOURCE,
+) -> DataFrame:
+    """Bloom-filter contamination flagging: eval-set n-grams populate
+    an m-bit / k-hash Bloom filter; a training gram counts as a hit
+    only when ALL k probe bits are set. One-sided by construction —
+    every exactly-contaminated gram is flagged (no false negatives),
+    plus a bounded false-positive rate (≈(1-e^{{-kE/m}})^k).
+
+    The filter travels as a broadcast set of DISTINCT bit positions
+    (≤ m small ints) — corpus-side gram strings are never shuffled,
+    which is the entire point at 100 TB.
+    """
+    probes = ", ".join(_bloom_pos_spark("gram", i, m) for i in range(1, k + 1))
+    eval_bits = (
+        documents.filter(F.col("source") == eval_source)
+        .select(F.explode(F.expr(f"array_distinct({_grams_expr(n)})")).alias("gram"))
+        .select(F.explode(F.expr(f"array({probes})")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = (
+        documents.filter(F.col("source") != eval_source)
+        .select("doc_id", F.explode(F.expr(f"array_distinct({_grams_expr(n)})")).alias("gram"))
+        .select("doc_id", "gram", F.explode(F.expr(f"array({probes})")).alias("pos"))
+    )
+    per_gram = (
+        train.join(F.broadcast(eval_bits), "pos", "left")
+        .groupBy("doc_id", "gram")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == k).cast("int").alias("bloom_hit"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum("bloom_hit").alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            "n_bloom_hits",
+            (F.col("n_bloom_hits") > 0).alias("bloom_flagged"),
+        )
+    )
+
+
+def bloom_decontaminate_sql(
+    n: int = BLOOM_N,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    eval_source: str = BLOOM_EVAL_SOURCE,
+) -> str:
+    probes = ", ".join(_bloom_pos_duck("gram", i, m) for i in range(1, k + 1))
+    return f"""
+WITH eg AS (
+  SELECT DISTINCT unnest(list_distinct({_grams_sql(n)})) AS gram
+  FROM documents WHERE source = '{eval_source}'
+), bits AS (
+  SELECT DISTINCT unnest([{probes}]) AS pos FROM eg
+), tg AS (
+  SELECT doc_id, unnest(list_distinct({_grams_sql(n)})) AS gram
+  FROM documents WHERE source <> '{eval_source}'
+), tp AS (
+  SELECT doc_id, gram, unnest([{probes}]) AS pos FROM tg
+), per_gram AS (
+  SELECT tp.doc_id, tp.gram,
+         CAST(count(bits.pos) = {k} AS INT) AS bloom_hit
+  FROM tp LEFT JOIN bits ON tp.pos = bits.pos
+  GROUP BY tp.doc_id, tp.gram
+)
+SELECT doc_id,
+       count(*) AS n_distinct_grams,
+       CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       sum(bloom_hit) > 0 AS bloom_flagged
+FROM per_gram GROUP BY doc_id
+"""
+
+
+# -------------------------------------------------- passage dedup
+
+PASSAGE_W = 8
+
+
+def passage_dedup(documents: DataFrame, w: int = PASSAGE_W) -> DataFrame:
+    """CCNet-style passage-level exact dedup: cut each document into
+    consecutive ``w``-word passages (last one may be partial), digest
+    each, and report per document how much of it consists of passages
+    that also occur in at least one OTHER document."""
+    passages = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size({_WORDS}) - 1) div {w}),"
+                f" i -> md5(concat_ws(' ', slice({_WORDS}, i * {w} + 1, {w}))))"
+            )
+        ).alias("digest"),
+    )
+    spread = passages.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    return (
+        passages.join(spread, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum((F.col("n_docs_with") >= 2).cast("int")).alias("n_dup_passages"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            F.expr("CAST(floor(1000.0 * n_dup_passages / n_passages) AS INT)").alias(
+                "dup_frac_m"
+            ),
+        )
+    )
+
+
+def passage_dedup_sql(w: int = PASSAGE_W) -> str:
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string({_WORDS_DUCK}[i * {w} + 1 : i * {w} + {w}], ' '))
+                 for i in range(0, (len({_WORDS_DUCK}) - 1) // {w} + 1)]) AS digest
+  FROM documents
+), spread AS (
+  SELECT digest, count(DISTINCT doc_id) AS n_docs_with FROM p GROUP BY digest
+)
+SELECT p.doc_id,
+       count(*) AS n_passages,
+       CAST(sum(CASE WHEN spread.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       CAST(floor(1000.0 * sum(CASE WHEN spread.n_docs_with >= 2 THEN 1 ELSE 0 END) / count(*)) AS INT) AS dup_frac_m
+FROM p JOIN spread USING (digest)
+GROUP BY p.doc_id
+"""
+
+
+# --------------------------------------------------- PII redaction
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Regex PII scrub (emails, phone numbers, IPv4 addresses →
+    typed placeholders) with per-type match counts. Pure JVM
+    regexp_replace — a narrow map; the patterns are the deliberately
+    simple, auditable kind (production swaps in a vetted ruleset,
+    same plumbing). Order matters: emails first (an email can contain
+    digits), then phones, then IPs."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(IP_RE), F.lit(0))).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+def pii_redact_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(text, '{IP_RE}')) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IP_RE}', '<IP>', 'g') AS redacted
+FROM documents
+"""

@@ -35,6 +35,7 @@ from .fixtures import (
     service_lookup_values_sql,
     token_sequences_from_events,
 )
+from .ops import corpus as cp
 from .ops import dedup as dd
 from .ops import multimodal as mm
 from .ops import similarity as sim
@@ -644,6 +645,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_near_dup": lambda s, d: sim.embedding_near_dup(_embs(s, d)),
         "ann_ivf_assignments": lambda s, d: sim.ivf_assignments(_embs(s, d)),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
+        # corpus curation (packing / filtering / splits / stats)
+        "corpus_pack_chunks": lambda s, d: cp.pack_chunks(_docs(s, d)),
+        "corpus_quality_filter": lambda s, d: cp.quality_filter(_docs(s, d)),
+        "corpus_split_assign": lambda s, d: cp.split_assign(_docs(s, d)),
+        "corpus_ngram_topk": lambda s, d: cp.ngram_topk(_docs(s, d)),
+        "corpus_tfidf_topk": lambda s, d: cp.tfidf_topk(_docs(s, d)),
+        "corpus_bloom_decontaminate": lambda s, d: cp.bloom_decontaminate(_docs(s, d)),
+        "corpus_passage_dedup": lambda s, d: cp.passage_dedup(_docs(s, d)),
+        "corpus_pii_redact": lambda s, d: cp.pii_redact(_docs(s, d)),
         # multimodal plumbing (mapInPandas): per-doc exact-integer
         # features, fully oracle-checked; the float summary aggregate
         # stays a rows-only check (float avg hashing is engine-hostile)
@@ -696,6 +706,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_embedding_near_dup": sim.embedding_near_dup_sql(),
         "ann_ivf_assignments": sim.ivf_assignments_sql(),
         "ann_ivf_topk": sim.ivf_topk_sql(),
+        "corpus_pack_chunks": cp.pack_chunks_sql(),
+        "corpus_quality_filter": cp.quality_filter_sql(),
+        "corpus_split_assign": cp.split_assign_sql(),
+        "corpus_ngram_topk": cp.ngram_topk_sql(),
+        "corpus_tfidf_topk": cp.tfidf_topk_sql(),
+        "corpus_bloom_decontaminate": cp.bloom_decontaminate_sql(),
+        "corpus_passage_dedup": cp.passage_dedup_sql(),
+        "corpus_pii_redact": cp.pii_redact_sql(),
         "multimodal_features": mm.media_features_exact_sql(),
         "multimodal_summary": mm.media_feature_summary_sql(),
     }
