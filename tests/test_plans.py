@@ -186,3 +186,27 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     s = plan_of(decontaminate(d))
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
+
+
+def test_corpus_plan_shapes(spark):
+    """Corpus ops (100 TB shapes): packing windows partition by source
+    (never a single global window); ngram top-k is TakeOrdered, not a
+    global sort; the Bloom bit-set broadcasts."""
+    from otel_worker_spark.ops import corpus as cp
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    s = plan_of(cp.pack_chunks(d))
+    assert "Exchange hashpartitioning(source" in s   # parallel across sources
+    assert "Exchange SinglePartition" not in s       # no global funnel
+
+    s = plan_of(cp.ngram_topk(d))
+    assert "TakeOrderedAndProject" in s
+    assert s.count("HashAggregate") >= 2             # partial + final gram counts
+
+    s = plan_of(cp.bloom_decontaminate(d))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+    s = plan_of(cp.tfidf_topk(d))
+    assert "CartesianProduct" not in s               # N arrives as broadcast 1-row
