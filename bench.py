@@ -69,6 +69,32 @@ def _cpu_calibration() -> float:
     return round(32 / best, 1)
 
 
+def _mc_work(_):
+    import hashlib
+
+    buf = b"\xab" * (16 << 20)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        hashlib.sha256(buf).digest()
+    return time.perf_counter() - t0
+
+
+def _cpu_calibration_multicore(nproc: int) -> float:
+    """Whole-box probe: aggregate sha256 MB/s across ``nproc``
+    processes. The single-thread probe misses cross-core contention
+    (host steal only visible under full-width load — observed: the
+    32-core Python parse stage swinging 4x while the 1-thread probe
+    stayed flat), so the full-parallelism denominator is archived
+    alongside it."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as p:
+        t0 = time.perf_counter()
+        p.map(_mc_work, range(nproc))
+        wall = time.perf_counter() - t0
+    return round(nproc * 64 / wall, 1)
+
+
 def _measure(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -103,13 +129,16 @@ def _measure(cores: int) -> dict:
         n_seq = tokens.count()
         lookup = service_lookup_df(spark)
 
+        all_runs: dict[str, list[float]] = {}
+
         def timed(name: str, fn, runs: int = N_TIMED_RUNS) -> None:
-            best = float("inf")
+            times = []
             for _ in range(runs):
                 t0 = time.perf_counter()
                 fn()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                times.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(times)
+            all_runs[name] = times
 
         # ---- headline: parse → enrich → route → aggregate ------------
         def pipeline_agg():
@@ -136,7 +165,12 @@ def _measure(cores: int) -> dict:
                 .collect()
             )
 
-        pipeline_agg()  # warm (JVM + Arrow + codegen)
+        # warm ×2: the Arrow→UnsafeRow conversion of the heavy map/list
+        # columns is JIT-sensitive — one fresh JVM showed 10.7 → 10.9 →
+        # 4.3 → 2.9 s across identical runs before settling; two warm
+        # passes put the timed window past most of that ramp
+        pipeline_agg()
+        pipeline_agg()
         # best-of-5: this box shows up to 4x whole-process drift, and
         # the headline number should reflect capability, not weather
         timed("pipeline_agg", pipeline_agg, runs=5)
@@ -189,6 +223,7 @@ def _measure(cores: int) -> dict:
             "cores": cores,
             "n_seq": n_seq,
             "queries": timings,
+            "query_runs": all_runs,
             "registry": _registry_sweep(spark),
             "throughput_seq_per_sec": round(thr, 1),
         }
@@ -313,6 +348,7 @@ def main() -> None:
         "unit": "sec",
         "sf": SF_DIR,
         "queries": primary["queries"],
+        "query_runs": primary.get("query_runs", {}),
         "registry": primary.get("registry", {}),
         "n_seq": primary["n_seq"],
         "cores": CPUS,
@@ -322,6 +358,8 @@ def main() -> None:
         # two rounds' raw numbers with matching calibration IS a real
         # change, with 4x-different calibration it is host weather
         "calibration_mb_per_sec": {"before": calib_before, "after": _cpu_calibration()},
+        # whole-box denominator (aggregate MB/s across CPUS procs)
+        "calibration_mc_mb_per_sec": _cpu_calibration_multicore(CPUS),
     }
 
     if os.environ.get("BENCH_SCALING", "1") != "0":

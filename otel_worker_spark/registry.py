@@ -30,11 +30,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .fixtures import (
+    DOC_ID,
     parsed_spans_sql,
+    payload_sql,
+    render,
     service_lookup_df,
     service_lookup_values_sql,
     token_sequences_from_events,
 )
+from .ops.common import MERSENNE31
 from .ops import corpus as cp
 from .ops import dedup as dd
 from .ops import multimodal as mm
@@ -114,6 +118,80 @@ SELECT doc_id, source, n_tok, trace_id, span_id, parent_span_id, name, kind,
        severity, service_name, flags, status_code, status_message,
        start_ts, end_ts, signal
 FROM spans
+"""
+
+
+def pipeline_token_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-row invariant, measured as a query: every
+    ROUTED row must preserve token-array equality with what was
+    ingested. The receipt is an order-sensitive rolling hash of the
+    carried payload bytes (token values under the identity byte
+    vocab), computed on the routed frame — the oracle recomputes it
+    from the original payload recipe, so a hash match proves the bytes
+    survived parse → enrich → route untouched."""
+    tok = token_sequences_from_events(spark, sf_dir)
+    routed = transform_batch(
+        tok,
+        service_lookup_df(spark),
+        with_inner=False,
+        columns=["doc_id", "n_tok", "payload"],
+    ).filter("signal != 'quarantine'")
+    chars = "filter(split(decode(payload, 'UTF-8'), ''), c -> c <> '')"
+    return routed.select(
+        "doc_id",
+        "n_tok",
+        F.expr("octet_length(payload)").alias("n_bytes"),
+        F.expr(
+            f"aggregate(transform({chars}, c -> CAST(ascii(c) AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {MERSENNE31})"
+        ).alias("payload_hash"),
+    ).distinct()
+
+
+def pipeline_token_receipts_sql() -> str:
+    payload = render(payload_sql("duckdb"), "duckdb")
+    doc_id = render(DOC_ID, "duckdb")
+    return f"""
+WITH p AS (
+  SELECT {doc_id} AS doc_id, {payload} AS payload
+  FROM events WHERE event_id % 97 <> 0
+)
+SELECT doc_id,
+       length(payload) AS n_tok,
+       length(payload) AS n_bytes,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [CAST(unicode(substr(payload, i, 1)) AS BIGINT)
+                       for i in range(1, length(payload) + 1)]),
+         (acc, x) -> (acc * 31 + x) % {MERSENNE31}
+       ) AS payload_hash
+FROM p
+"""
+
+
+def pipeline_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token histogram over the raw token table (the input
+    contract itself): explode → partial+final hash agg. Uniform small
+    key space (the byte vocab) — the shuffle is 256 rows per map
+    partition regardless of input size."""
+    tok = token_sequences_from_events(spark, sf_dir)
+    return (
+        tok.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def pipeline_token_hist_sql() -> str:
+    payload = render(payload_sql("duckdb"), "duckdb")
+    return f"""
+WITH p AS (SELECT {payload} AS payload FROM events),
+c AS (
+  SELECT unnest([unicode(substr(payload, i, 1))
+                 for i in range(1, length(payload) + 1)]) AS token
+  FROM p
+)
+SELECT token, count(*) AS cnt FROM c GROUP BY token
 """
 
 
@@ -602,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline (SURVEY §2.1-2.6 over the real engine)
         "pipeline_parse_spans": pipeline_parse_spans,
+        "pipeline_token_receipts": pipeline_token_receipts,
+        "pipeline_token_hist": pipeline_token_hist,
         "pipeline_protobuf_parse": pipeline_protobuf_parse,
         "pipeline_protobuf_quarantine": pipeline_protobuf_quarantine,
         "pipeline_quarantine": pipeline_quarantine,
@@ -665,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_parse_spans": pipeline_parse_spans_sql(),
+        "pipeline_token_receipts": pipeline_token_receipts_sql(),
+        "pipeline_token_hist": pipeline_token_hist_sql(),
         "pipeline_protobuf_parse": pipeline_protobuf_parse_sql(),
         "pipeline_protobuf_quarantine": pipeline_protobuf_quarantine_sql(),
         "pipeline_quarantine": pipeline_quarantine_sql(),
