@@ -97,11 +97,11 @@ def pack_chunks(documents: DataFrame, capacity: int = PACK_CAPACITY) -> DataFram
     )
 
 
-def pack_chunks_sql(capacity: int = PACK_CAPACITY) -> str:
+def pack_chunks_sql(capacity: int = PACK_CAPACITY, table: str = "documents") -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, source, CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_tokens
-  FROM documents WHERE len({_WORDS_DUCK}) > 0
+  FROM {table} WHERE len({_WORDS_DUCK}) > 0
 ), c AS (
   SELECT doc_id, source, n_tokens,
          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -119,6 +119,60 @@ FROM s
 """
 
 
+# ------------------------------------------------ curate-and-pack DAG
+
+
+def curate_and_pack(documents: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
+    """The end-to-end curation DAG a training-data pipeline runs, as
+    ONE composed plan: quality filter → exact-dedup survivor selection
+    → train-split assignment → sequence packing of what remains.
+
+    Plan shape (the thing that matters at 100 TB): quality and split
+    are narrow expressions fused into the scans; survivor selection is
+    a single window over the text digest (one exchange on a uniform
+    key — no join-back); packing adds its per-source window. Total:
+    two hash exchanges for the whole DAG. Near-dup dedup
+    (``dedup.dedup_groups``) slots in between the digest stage and the
+    split when the corpus calls for it — verified standalone; the
+    composed oracle stays exact-dedup so it is one closed-form SQL.
+    """
+    # quality keep and train-split are pure row predicates — filters
+    # fused into the scan, NOT semi-joins back onto the corpus (each
+    # join-back costs a doc_id exchange of the whole corpus)
+    kept = documents.where(F.expr(_QF_KEEP)).withColumn("digest", F.md5("text"))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    survivors = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn", "digest")
+    )
+    train = survivors.where(F.expr(_SPLIT_BUCKET) < SPLIT_BUCKETS[0])
+    return pack_chunks(train, capacity)
+
+
+def curate_and_pack_sql(capacity: int = PACK_CAPACITY) -> str:
+    # splice the pack CTE chain after the curation CTEs (one WITH level)
+    pack = pack_chunks_sql(capacity, table="train").strip()
+    assert pack.startswith("WITH base AS")
+    pack = pack.replace("WITH base AS", ", base AS", 1)
+    return f"""
+WITH q AS ({quality_filter_sql()}),
+kept AS (
+  SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.keep
+),
+surv AS (
+  SELECT * FROM (
+    SELECT kept.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) s WHERE rn = 1
+),
+sp AS ({split_assign_sql().replace("FROM documents", "FROM surv")}),
+train AS (
+  SELECT surv.* FROM surv JOIN sp USING (doc_id) WHERE sp.split = 'train'
+){pack}
+"""
+
+
 # ----------------------------------------------------- quality filter
 
 #: Gopher-style rule thresholds (Rae et al. 2021 §A1.1 shape, tuned to
@@ -127,6 +181,18 @@ QF_MIN_TOKENS = 15
 QF_MAX_TOKENS = 120
 QF_MIN_MWL_M = 3000   # mean word length ≥ 3.0 chars
 QF_MAX_MWL_M = 8000   # ≤ 8.0 chars
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+_QF_MWL = (
+    f"CAST(floor(1000.0 * length(regexp_replace(text, '\\\\s', '')) / size({_WORDS})) AS INT)"
+)
+#: the keep predicate as one inline boolean expression (used by
+#: curate_and_pack as a plain filter — no join-back)
+_QF_KEEP = (
+    f"size({_WORDS}) >= {QF_MIN_TOKENS} AND size({_WORDS}) <= {QF_MAX_TOKENS}"
+    f" AND {_QF_MWL} >= {QF_MIN_MWL_M} AND {_QF_MWL} <= {QF_MAX_MWL_M}"
+    f" AND size(filter({_WORDS}, w -> w IN {_STOP_SQL})) > 0"
+)
 
 
 def quality_filter(documents: DataFrame) -> DataFrame:
@@ -186,15 +252,20 @@ FROM d
 
 SPLIT_BUCKETS = (800, 900)  # train < 800 ≤ val < 900 ≤ test, of 1000
 
+#: the hash bucket as one inline expression (shared by split_assign
+#: and curate_and_pack's train filter)
+_SPLIT_BUCKET = (
+    "(CAST(conv(substring(md5(concat('split', CAST(doc_id AS STRING))), 1, 15), 16, 10)"
+    " AS BIGINT)) % 1000"
+)
+
 
 def split_assign(documents: DataFrame) -> DataFrame:
     """Deterministic hash split (train/val/test): bucket =
     md5('split' || doc_id) mod 1000 — stable under re-runs, new data,
     and reshuffling, which is why hash splits (not row_number splits)
     are the production idiom."""
-    bucket = F.expr(
-        f"(CAST(conv(substring(md5(concat('split', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)) % 1000"
-    )
+    bucket = F.expr(_SPLIT_BUCKET)
     return documents.select(
         "doc_id",
         "source",

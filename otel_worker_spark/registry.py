@@ -727,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
         # corpus curation (packing / filtering / splits / stats)
         "corpus_pack_chunks": lambda s, d: cp.pack_chunks(_docs(s, d)),
+        "corpus_curate_pack": lambda s, d: cp.curate_and_pack(_docs(s, d)),
         "corpus_quality_filter": lambda s, d: cp.quality_filter(_docs(s, d)),
         "corpus_split_assign": lambda s, d: cp.split_assign(_docs(s, d)),
         "corpus_ngram_topk": lambda s, d: cp.ngram_topk(_docs(s, d)),
@@ -789,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_assignments": sim.ivf_assignments_sql(),
         "ann_ivf_topk": sim.ivf_topk_sql(),
         "corpus_pack_chunks": cp.pack_chunks_sql(),
+        "corpus_curate_pack": cp.curate_and_pack_sql(),
         "corpus_quality_filter": cp.quality_filter_sql(),
         "corpus_split_assign": cp.split_assign_sql(),
         "corpus_ngram_topk": cp.ngram_topk_sql(),

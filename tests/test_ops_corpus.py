@@ -158,3 +158,43 @@ def test_pii_redact_planted(spark):
     assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
     assert "example.com" not in out[1].redacted
     assert out[2].n_ips == 1 and "<IP>" in out[2].redacted
+
+
+def test_curate_and_pack_oracle(spark, con, docs):
+    assert_match(cp.curate_and_pack(docs), con, cp.curate_and_pack_sql(), min_rows=100)
+
+
+def test_curate_and_pack_two_exchanges(spark, docs):
+    """The whole curation DAG (quality → dedup survivors → split →
+    pack) must cost exactly TWO hash exchanges: the digest window and
+    the per-source pack window. Quality/split are filters, never
+    join-backs."""
+    plan = (
+        cp.curate_and_pack(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_curate_drops_quality_and_duplicates(spark, docs):
+    """A planted duplicate of a kept doc must not add packed tokens;
+    a planted low-quality doc must vanish."""
+    from pyspark.sql import functions as F
+
+    base_docs = docs.limit(100)
+    packed_base = cp.curate_and_pack(base_docs)
+    base_total = packed_base.agg(F.sum("n_in_chunk")).collect()[0][0]
+    # duplicate every doc (new ids after every original id) — survivors
+    # are unchanged, so the packed token mass stays identical
+    clones = base_docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    packed_dup = cp.curate_and_pack(base_docs.union(clones))
+    dup_total = packed_dup.agg(F.sum("n_in_chunk")).collect()[0][0]
+    assert dup_total == base_total
+    # a too-short doc never reaches packing
+    junk = spark.createDataFrame(
+        [(555555, "tiny doc", "en", "src0", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    packed_junk = cp.curate_and_pack(base_docs.union(junk))
+    assert packed_junk.where("doc_id = 555555").count() == 0
