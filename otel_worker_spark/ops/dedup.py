@@ -402,62 +402,106 @@ WHERE CAST(floor(1000.0 * {inter} / ({union})) AS INT) >= {int(jaccard_threshold
 
 # ------------------------------------------------- duplicate groups (CC)
 
+def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list ``(doc_a,
+    doc_b)`` via alternating large-star / small-star rounds (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014) — the web-scale CC: converges in O(log n) rounds on ANY
+    graph shape, where plain min-label propagation needs DIAMETER
+    rounds (a 10^5-node duplicate chain = 10^5 shuffles).
+
+    One round = two transformations over the symmetrized neighbor
+    list, each a groupBy(min over the neighborhood incl. self) +
+    re-expansion — two uniform shuffles:
+
+    - large-star: every node points its strictly-LARGER neighbors at
+      its neighborhood minimum;
+    - small-star: every node points its smaller-or-equal neighbors at
+      that minimum.
+
+    Convergence is detected by an order-insensitive edge-set signature
+    (count + sum of xxhash64(src,dst)) — one tiny aggregate per round
+    instead of a full except-join. The fixpoint is a star forest:
+    every node's minimum neighbor IS its component minimum.
+
+    Returns ``(doc_id, component)`` for every node that appears in an
+    edge (singletons absent — callers left-join and coalesce).
+    """
+    e = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .where("src <> dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def round_edges(cur: DataFrame, large: bool) -> DataFrame:
+        nbrs = cur.union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        # neighborhood minimum including the node itself (first("src")
+        # inside a src-group is src — avoids a second self-loop union)
+        mins = nbrs.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        joined = nbrs.join(mins, "src")
+        kept = joined.where("dst > src" if large else "dst <= src")
+        return (
+            kept.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mins.select("src", F.col("m").alias("dst")))
+            .where("src <> dst")
+            .distinct()
+        )
+
+    def sig(cur: DataFrame) -> tuple:
+        row = cur.agg(
+            F.count("*").alias("n"),
+            # decimal(38) sum: an int64 sum of xxhash64 overflows (ANSI)
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = sig(e)
+    for _ in range(max_iterations):
+        e = round_edges(e, large=True).localCheckpoint(eager=True)
+        e = round_edges(e, large=False).localCheckpoint(eager=True)
+        cur = sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        nbrs.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
+        .select(F.col("src").alias("doc_id"), "component")
+    )
+
+
 def dedup_groups(
     documents: DataFrame,
     jaccard_threshold: float = 0.5,
     hash_impl: str = "md5",
-    max_iterations: int = 20,
+    max_iterations: int = 25,
 ) -> DataFrame:
     """Survivor assignment for EVERY document: connected components
-    over the verified near-dup pair graph, survivor = min doc_id of
-    the component (singletons survive as themselves).
+    over the verified near-dup pair graph (LSH candidates -> exact
+    Jaccard), survivor = min doc_id of the component (singletons
+    survive as themselves).
 
-    Components are found by iterative min-label propagation over the
-    edge list — pure DataFrame joins, no GraphFrames: each round every
-    vertex takes the min of its own label and its neighbors' labels;
-    converged when a round changes nothing. Near-dup components are
-    tiny (duplicate clusters), so rounds ≈ cluster diameter (2-4);
-    each round is one shuffle join on doc_id + one groupBy — at
-    100 TB this is the standard label-propagation CC (upgrade path:
-    large-star/small-star for adversarial long-chain graphs). Frames
-    are localCheckpoint()ed per round to cut the iterative lineage.
+    CC is the large-star/small-star algorithm (O(log n) rounds on any
+    graph — ``connected_components``); r1 shipped min-label
+    propagation, whose round count equals the component DIAMETER — a
+    latent non-convergence on adversarial chain-shaped duplicate
+    graphs (tested: a 400-node chain converges in <=7 star rounds).
     """
     edges = verified_pairs(documents, jaccard_threshold, hash_impl).select(
         "doc_a", "doc_b"
     )
-    # undirected: propagate both ways
-    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    adj = fwd.union(rev).localCheckpoint(eager=True)
-
-    labels = documents.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iterations):
-        neighbor_min = (
-            adj.join(labels, adj.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.expr("n.label != o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("survivor_doc_id"))
+    comp = connected_components(edges, max_iterations)
+    return documents.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("survivor_doc_id"),
+    )
 
 
 def dedup_groups_sql(jaccard_threshold: float = 0.5) -> str:

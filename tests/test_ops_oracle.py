@@ -127,3 +127,27 @@ def test_multimodal_plumbing(spark, docs):
 
     with _pytest.raises(Exception):
         mm.extract_features(mm.documents_as_media(docs), decode_stub="raise").collect()
+
+
+def test_connected_components_chain_and_cycles(spark):
+    """Large-star/small-star CC: a 200-node chain (the adversarial
+    diameter case that breaks label propagation's round budget) plus a
+    cycle and a star must all collapse to their min-id component."""
+    from pyspark.sql import functions as F
+
+    chain = spark.range(199).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    rows = dd.connected_components(chain).collect()
+    assert len(rows) == 200 and {r.component for r in rows} == {0}
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (21, 22), (22, 20), (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.component for r in dd.connected_components(edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_dedup_groups_oracle(spark, con, docs):
+    assert_match(dd.dedup_groups(docs), con, dd.dedup_groups_sql(), min_rows=500)
