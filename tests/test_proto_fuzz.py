@@ -1,0 +1,153 @@
+"""Property-based fuzz of the hand-rolled OTLP protobuf wire codec:
+(1) encode→decode is the identity on canonical envelopes (arbitrary
+nested AnyValue trees, arbitrary span field combinations), and
+(2) the decoder is TOTAL on adversarial bytes — any input either
+decodes or raises WireError, never an unexpected exception (the
+quarantine contract: poison wire must never kill a batch).
+
+Pure Python — no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import given, settings, strategies as st
+
+from otel_worker_spark.proto import (
+    WireError,
+    decode_export_request,
+    encode_export_request,
+)
+
+# ---- canonical-form strategies (what the decoder itself emits) ------------
+
+_text = st.text(max_size=12)
+_nonempty = st.text(min_size=1, max_size=12)
+_hex_id = st.integers(1, 16).map(lambda n: ("ab" * n))
+_i64 = st.integers(-(2**63), 2**63 - 1)
+_u63_str = st.integers(0, 2**63 - 1).map(str)
+
+
+def _leaf_values():
+    return st.one_of(
+        _text.map(lambda s: {"stringValue": s}),
+        st.booleans().map(lambda b: {"boolValue": b}),
+        _i64.map(lambda i: {"intValue": str(i)}),
+        st.floats(allow_nan=False, allow_infinity=False).map(
+            lambda d: {"doubleValue": d}
+        ),
+        st.binary(min_size=1, max_size=16).map(
+            lambda b: {"bytesValue": base64.b64encode(b).decode("ascii")}
+        ),
+    )
+
+
+_anyvalue = st.recursive(
+    _leaf_values(),
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=3).map(lambda vs: {"arrayValue": {"values": vs}}),
+        st.lists(
+            st.fixed_dictionaries({"key": _text, "value": inner}), max_size=3
+        ).map(lambda kvs: {"kvlistValue": {"values": kvs}}),
+    ),
+    max_leaves=8,
+)
+
+_attrs = st.lists(st.fixed_dictionaries({"key": _text, "value": _anyvalue}), max_size=3)
+
+_event = st.fixed_dictionaries(
+    {"timeUnixNano": _u63_str, "name": _text, "attributes": _attrs}
+)
+
+_link_base = st.fixed_dictionaries(
+    {
+        "traceId": _hex_id,
+        "spanId": _hex_id,
+        "attributes": _attrs,
+        "flags": st.integers(0, 2**32 - 1),
+    }
+)
+_link = st.one_of(
+    _link_base,
+    st.tuples(_link_base, _nonempty).map(
+        lambda t: {**t[0], "traceState": t[1]}
+    ),
+)
+
+_status = st.one_of(
+    st.fixed_dictionaries({"code": st.integers(0, 2)}),
+    st.fixed_dictionaries({"code": st.integers(0, 2), "message": _nonempty}),
+)
+
+_span_base = st.fixed_dictionaries(
+    {
+        "traceId": _hex_id,
+        "spanId": _hex_id,
+        "parentSpanId": st.one_of(st.just(""), _hex_id),
+        "name": _text,
+        "kind": st.integers(0, 5),
+        "startTimeUnixNano": _u63_str,
+        "endTimeUnixNano": _u63_str,
+        "attributes": _attrs,
+        "events": st.lists(_event, max_size=2),
+        "links": st.lists(_link, max_size=2),
+        "flags": st.integers(0, 2**32 - 1),
+    }
+)
+_span = st.one_of(
+    _span_base,
+    st.tuples(_span_base, _nonempty, _status).map(
+        lambda t: {**t[0], "traceState": t[1], "status": t[2]}
+    ),
+)
+
+_scope_spans = st.fixed_dictionaries(
+    {
+        "scope": st.fixed_dictionaries(
+            {"name": _text, "version": _text, "attributes": _attrs}
+        ),
+        "spans": st.lists(_span, max_size=3),
+    }
+)
+
+_resource_spans = st.fixed_dictionaries(
+    {
+        "resource": st.fixed_dictionaries({"attributes": _attrs}),
+        "scopeSpans": st.lists(_scope_spans, max_size=2),
+    }
+)
+
+_envelope = st.fixed_dictionaries(
+    {"resourceSpans": st.lists(_resource_spans, max_size=2)}
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_envelope)
+def test_wire_roundtrip_is_identity_on_canonical(env):
+    assert decode_export_request(encode_export_request(env)) == env
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_decoder_is_total_on_garbage(data):
+    try:
+        out = decode_export_request(data)
+    except WireError:
+        return
+    assert isinstance(out, dict) and "resourceSpans" in out
+
+
+@settings(max_examples=150, deadline=None)
+@given(_envelope, st.integers(0, 100))
+def test_decoder_is_total_on_truncated_valid_wire(env, cut):
+    wire = encode_export_request(env)
+    if not wire:
+        return
+    truncated = wire[: cut % len(wire)]
+    try:
+        out = decode_export_request(truncated)
+    except WireError:
+        return
+    assert isinstance(out, dict)
