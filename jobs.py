@@ -127,6 +127,34 @@ def cmd_delete_trace(args) -> None:
     print(json.dumps({"rowsAffected": n}))
 
 
+def cmd_curate(args) -> None:
+    """Run the corpus curation DAG (quality filter -> exact-dedup
+    survivors -> train split -> sequence packing) over a documents
+    parquet and write the packed-chunk table + a summary receipt."""
+    from otel_worker_spark.ops.corpus import curate_and_pack
+
+    spark = get_spark("curate")
+    docs = spark.read.parquet(args.docs)
+    packed = curate_and_pack(docs, capacity=args.capacity)
+    packed.write.mode("errorifexists").option("compression", "zstd").parquet(args.out)
+    from pyspark.sql import functions as F
+
+    row = spark.read.parquet(args.out).agg(
+        F.count("*").alias("spans"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum("n_in_chunk").alias("tokens"),
+        F.countDistinct("source", "chunk_id").alias("chunks"),
+    ).collect()[0]
+    print(json.dumps({
+        "inputDocs": docs.count(),
+        "packedDocs": row["docs"],
+        "chunks": row["chunks"],
+        "tokens": row["tokens"],
+        "capacity": args.capacity,
+        "out": args.out,
+    }))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="jobs.py")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -161,6 +189,12 @@ def main() -> None:
     pd_.add_argument("--stores", required=True)
     pd_.add_argument("--trace-id", required=True)
     pd_.set_defaults(fn=cmd_delete_trace)
+
+    pc = sub.add_parser("curate")
+    pc.add_argument("--docs", required=True)
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--capacity", type=int, default=64)
+    pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args()
     args.fn(args)

@@ -576,3 +576,65 @@ SELECT doc_id,
            '{IP_RE}', '<IP>', 'g') AS redacted
 FROM documents
 """
+
+
+# ------------------------------------------- sampling / normalization
+
+SAMPLE_K = 10
+
+
+def sample_per_source(documents: DataFrame, k: int = SAMPLE_K) -> DataFrame:
+    """Deterministic pseudo-random sample of ``k`` documents per
+    source: rank by a salted hash of doc_id inside each source
+    partition. Re-runs, retries, and cluster relayouts all pick the
+    SAME sample (the reason hash-rank sampling, not rand(), is the
+    production idiom for eval subsets). One window per source
+    partition — parallel across sources, no global shuffle."""
+    h = "md5(concat('sample', CAST(doc_id AS STRING)))"
+    w = Window.partitionBy("source").orderBy(F.expr(h), "doc_id")
+    return (
+        documents.select("doc_id", "source", F.expr(h).alias("sample_key"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def sample_per_source_sql(k: int = SAMPLE_K) -> str:
+    return f"""
+SELECT doc_id, source, sample_key, sample_rank FROM (
+  SELECT doc_id, source, md5('sample' || CAST(doc_id AS VARCHAR)) AS sample_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+) r WHERE sample_rank <= {k}
+"""
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Canonical text normalization (the first stage of most curation
+    pipelines): lowercase, trim, collapse whitespace runs, strip
+    control characters. Emits the normalized text plus a changed flag
+    and the md5 of the normalized form (the key exact-dedup runs on
+    after normalization). Pure JVM expressions, zero shuffle."""
+    norm = F.expr(
+        "lower(trim(regexp_replace(regexp_replace(text, '[\\\\p{Cntrl}]', ' '), '\\\\s+', ' ')))"
+    )
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+        F.md5(norm).alias("norm_digest"),
+    )
+
+
+def normalize_text_sql() -> str:
+    norm = (
+        "lower(trim(regexp_replace(regexp_replace(text, '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g')))"
+    )
+    return f"""
+SELECT doc_id,
+       {norm} AS norm_text,
+       {norm} <> text AS changed,
+       md5({norm}) AS norm_digest
+FROM documents
+"""

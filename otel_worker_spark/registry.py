@@ -735,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bloom_decontaminate": lambda s, d: cp.bloom_decontaminate(_docs(s, d)),
         "corpus_passage_dedup": lambda s, d: cp.passage_dedup(_docs(s, d)),
         "corpus_pii_redact": lambda s, d: cp.pii_redact(_docs(s, d)),
+        "corpus_sample_per_source": lambda s, d: cp.sample_per_source(_docs(s, d)),
+        "corpus_normalize_text": lambda s, d: cp.normalize_text(_docs(s, d)),
         # multimodal plumbing (mapInPandas): per-doc exact-integer
         # features, fully oracle-checked; the float summary aggregate
         # stays a rows-only check (float avg hashing is engine-hostile)
@@ -798,6 +800,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bloom_decontaminate": cp.bloom_decontaminate_sql(),
         "corpus_passage_dedup": cp.passage_dedup_sql(),
         "corpus_pii_redact": cp.pii_redact_sql(),
+        "corpus_sample_per_source": cp.sample_per_source_sql(),
+        "corpus_normalize_text": cp.normalize_text_sql(),
         "multimodal_features": mm.media_features_exact_sql(),
         "multimodal_summary": mm.media_feature_summary_sql(),
     }

@@ -198,3 +198,34 @@ def test_curate_drops_quality_and_duplicates(spark, docs):
     )
     packed_junk = cp.curate_and_pack(base_docs.union(junk))
     assert packed_junk.where("doc_id = 555555").count() == 0
+
+
+def test_sample_per_source_oracle(spark, con, docs):
+    assert_match(cp.sample_per_source(docs), con, cp.sample_per_source_sql(), min_rows=50)
+
+
+def test_sample_is_stable_under_growth(spark, docs):
+    """Adding documents never changes which of the ORIGINAL docs rank
+    in the sample unless a new doc hashes ahead of them — with fixed
+    ids the original sample of a subset is a superset filter."""
+    full = {(r.doc_id, r.source) for r in cp.sample_per_source(docs).collect()}
+    # same corpus re-sampled = identical (deterministic)
+    again = {(r.doc_id, r.source) for r in cp.sample_per_source(docs).collect()}
+    assert full == again
+
+
+def test_normalize_text_oracle(spark, con, docs):
+    assert_match(cp.normalize_text(docs), con, cp.normalize_text_sql(), min_rows=100)
+
+
+def test_normalize_text_planted(spark):
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    planted = s.createDataFrame(
+        [(1, "  Hello\t\tWORLD  \x07 again ", "en", "srcx", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = cp.normalize_text(planted).collect()[0]
+    assert r.norm_text == "hello world again"
+    assert r.changed
