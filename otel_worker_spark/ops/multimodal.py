@@ -65,33 +65,45 @@ def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
                     "real media decode (PIL/torchaudio/ffmpeg) is not "
                     "available in this environment"
                 )
-            out = {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
-            }
-            widths, heights, sums, means, feats = [], [], [], [], []
-            for payload in pdf["payload"]:
-                a = np.frombuffer(payload, dtype=np.uint8)
-                # --- real decoder goes here (PIL.Image.open etc.) ---
-                side = max(1, int(np.sqrt(a.size)))
-                widths.append(side)
-                heights.append(max(1, a.size // side))
-                # exact integer byte sum: the hash-verifiable quantity
-                # the DuckDB oracle reproduces (mean is derived float)
-                s = int(a.sum(dtype=np.int64))
-                sums.append(s)
-                means.append(s / a.size if a.size else 0.0)
-                # fake embedding: histogram of byte values, 8 buckets
-                hist, _ = np.histogram(a, bins=FEATURE_DIM, range=(0, 256))
-                denom = max(1, a.size)
-                feats.append((hist / denom).astype(np.float32))
-            out["width"] = pd.Series(widths, dtype="int32")
-            out["height"] = pd.Series(heights, dtype="int32")
-            out["intensity_sum"] = pd.Series(sums, dtype="int64")
-            out["mean_intensity"] = pd.Series(means, dtype="float64")
-            out["feature"] = pd.Series(feats)
-            yield pd.DataFrame(out)
+            # One vectorized pass over the WHOLE batch: all payloads
+            # concatenated into a single byte buffer, per-row segments
+            # addressed by offsets (reduceat for sums, one global
+            # bincount for every row's histogram at once). No per-row
+            # Python; a real decoder replaces the marked section.
+            n = len(pdf)
+            lens = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # --- real decoder goes here (PIL.Image.open etc.) ---
+            widths = np.maximum(1, np.sqrt(lens).astype(np.int64))
+            heights = np.maximum(1, lens // widths)
+            # exact integer byte sums (the hash-verifiable quantity the
+            # DuckDB oracle reproduces; mean is the derived float)
+            sums = np.zeros(n, dtype=np.int64)
+            nonempty = lens > 0
+            if buf.size:
+                seg_sums = np.add.reduceat(buf.astype(np.int64), starts[nonempty])
+                sums[nonempty] = seg_sums
+            means = np.where(nonempty, sums / np.maximum(1, lens), 0.0)
+            # 8-bucket byte histogram per row: bucket = byte >> 5
+            # (identical to np.histogram(bins=8, range=(0, 256)))
+            row_idx = np.repeat(np.arange(n), lens)
+            hist = np.bincount(
+                row_idx * FEATURE_DIM + (buf >> 5), minlength=n * FEATURE_DIM
+            ).reshape(n, FEATURE_DIM)
+            feats = (hist / np.maximum(1, lens)[:, None]).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": pd.Series(lens, dtype="int32"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "intensity_sum": pd.Series(sums, dtype="int64"),
+                    "mean_intensity": pd.Series(means, dtype="float64"),
+                    "feature": pd.Series(list(feats)),
+                }
+            )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
