@@ -640,6 +640,31 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (order status × priority hierarchy + grand
+    totals): Catalyst's Expand operator generates the grouping sets in
+    one pass — no per-level re-scan. grouping_id disambiguates real
+    NULLs from subtotal rows, exactly as the oracle's GROUPING() does."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def rel_rollup_sql() -> str:
+    return """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS total_cents,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 def rel_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregate over the event stream table (the batch
     twin of a streaming windowed agg): daily counts + exact value
@@ -703,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_topn": rel_window_topn,
         "rel_distinct_agg": rel_distinct_agg,
         "rel_events_window_agg": rel_events_window_agg,
+        "rel_rollup": rel_rollup,
         "rel_sessionize": lambda s, d: ts.sessionize(_t(s, d, "events")),
         "rel_asof_join": lambda s, d: ts.asof_join(_t(s, d, "events")),
         # training-data ops
@@ -770,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_window_topn": rel_window_topn_sql(),
         "rel_distinct_agg": rel_distinct_agg_sql(),
         "rel_events_window_agg": rel_events_window_agg_sql(),
+        "rel_rollup": rel_rollup_sql(),
         "rel_sessionize": ts.sessionize_sql(),
         "rel_asof_join": ts.asof_join_sql(),
         "dedup_exact": dd.dedup_exact_sql(),
