@@ -638,3 +638,154 @@ SELECT doc_id,
        md5({norm}) AS norm_digest
 FROM documents
 """
+
+
+# ------------------------------------------------- source mixing
+
+MIX_ALPHA_SQRT = True  # temperature T=2 (sqrt) reweight — the common LM mix
+
+
+def source_mixture(documents: DataFrame) -> DataFrame:
+    """Training-mixture weights per source: raw token share plus the
+    temperature-smoothed share (sqrt reweight, the T=2 mixing used to
+    up-weight small sources in multilingual/multi-source LM training).
+    sqrt is IEEE-correctly-rounded — identical in both engines — and
+    shares are floor-scaled ints, so the op stays hash-verifiable.
+
+    Shape: one partial+final agg on source (tiny output), then a
+    broadcast single-row total for the shares — no second scan.
+    """
+    per = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(f"CAST(sum(size({_WORDS})) AS BIGINT)").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.expr("sqrt(CAST(n_tokens AS DOUBLE))")).alias("tot_sqrt"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(floor(1000000.0 * n_tokens / tot_tokens) AS INT)").alias(
+                "share_u"
+            ),
+            F.expr(
+                "CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt) AS INT)"
+            ).alias("smoothed_share_u"),
+        )
+    )
+
+
+def source_mixture_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_WORDS_DUCK})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS tot_tokens,
+         sum(sqrt(CAST(n_tokens AS DOUBLE))) AS tot_sqrt
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(floor(1000000.0 * n_tokens / tot_tokens) AS INT) AS share_u,
+       CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt) AS INT) AS smoothed_share_u
+FROM per CROSS JOIN tot
+"""
+
+
+# --------------------------------------------- chunk materialization
+
+
+def materialize_chunks(documents: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
+    """The packed TRAINING SEQUENCES themselves: same concat-and-chunk
+    algebra as ``pack_chunks`` but emitting each chunk's actual token
+    content (space-joined words) — the table a trainer reads.
+
+    Shape: the per-source cumsum window, an explode over the chunks a
+    doc touches with the doc-internal slice bounds, then ONE groupBy
+    (source, chunk_id) that order-merges the pieces (sort by offset
+    inside the chunk). Every chunk except a source's last is exactly
+    ``capacity`` tokens (asserted in tests, conservation inherited
+    from pack_chunks' algebra).
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        documents.select(
+            "doc_id",
+            "source",
+            F.expr(_WORDS).alias("ws"),
+            F.expr(f"size({_WORDS})").cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("cum_end", F.sum("n_tokens").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    )
+    pieces = base.select(
+        "source",
+        "ws",
+        "cum_start",
+        "cum_end",
+        F.explode(
+            F.expr(f"sequence(cum_start div {capacity}, (cum_end - 1) div {capacity})")
+        ).alias("chunk_id"),
+    ).select(
+        "source",
+        "chunk_id",
+        (F.greatest("cum_start", F.col("chunk_id") * capacity) - F.col("chunk_id") * capacity).alias("chunk_offset"),
+        F.expr(
+            f"slice(ws, CAST(greatest(cum_start, chunk_id * {capacity}) - cum_start + 1 AS INT),"
+            f" CAST(least(cum_end, (chunk_id + 1) * {capacity}) - greatest(cum_start, chunk_id * {capacity}) AS INT))"
+        ).alias("piece"),
+    )
+    merged = (
+        pieces.groupBy("source", "chunk_id")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list(struct(chunk_offset, piece))),"
+                " s -> s.piece))"
+            ).alias("tokens")
+        )
+    )
+    return merged.select(
+        "source",
+        "chunk_id",
+        F.expr("size(tokens)").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("text"),
+    )
+
+
+def materialize_chunks_sql(capacity: int = PACK_CAPACITY) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {_WORDS_DUCK} AS ws,
+         CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents WHERE len({_WORDS_DUCK}) > 0
+), c AS (
+  SELECT doc_id, source, ws, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM base
+), s AS (
+  SELECT source, ws, cum_end - n_tokens AS cum_start, cum_end,
+         unnest(range((cum_end - n_tokens) // {capacity}, (cum_end - 1) // {capacity} + 1)) AS chunk_id
+  FROM c
+), pieces AS (
+  SELECT source, chunk_id,
+         greatest(cum_start, chunk_id * {capacity}) - chunk_id * {capacity} AS chunk_offset,
+         ws[CAST(greatest(cum_start, chunk_id * {capacity}) - cum_start + 1 AS BIGINT) :
+            CAST(least(cum_end, (chunk_id + 1) * {capacity}) - cum_start AS BIGINT)] AS piece
+  FROM s
+)
+SELECT source, chunk_id,
+       CAST(len(flatten(list(piece ORDER BY chunk_offset))) AS INT) AS n_tokens,
+       array_to_string(flatten(list(piece ORDER BY chunk_offset)), ' ') AS text
+FROM pieces GROUP BY source, chunk_id
+"""

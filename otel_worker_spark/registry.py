@@ -763,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pii_redact": lambda s, d: cp.pii_redact(_docs(s, d)),
         "corpus_sample_per_source": lambda s, d: cp.sample_per_source(_docs(s, d)),
         "corpus_normalize_text": lambda s, d: cp.normalize_text(_docs(s, d)),
+        "corpus_source_mixture": lambda s, d: cp.source_mixture(_docs(s, d)),
+        "corpus_materialize_chunks": lambda s, d: cp.materialize_chunks(_docs(s, d)),
         # multimodal plumbing (mapInPandas): per-doc exact-integer
         # features, fully oracle-checked; the float summary aggregate
         # stays a rows-only check (float avg hashing is engine-hostile)
@@ -829,6 +831,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pii_redact": cp.pii_redact_sql(),
         "corpus_sample_per_source": cp.sample_per_source_sql(),
         "corpus_normalize_text": cp.normalize_text_sql(),
+        "corpus_source_mixture": cp.source_mixture_sql(),
+        "corpus_materialize_chunks": cp.materialize_chunks_sql(),
         "multimodal_features": mm.media_features_exact_sql(),
         "multimodal_summary": mm.media_feature_summary_sql(),
     }

@@ -229,3 +229,41 @@ def test_normalize_text_planted(spark):
     r = cp.normalize_text(planted).collect()[0]
     assert r.norm_text == "hello world again"
     assert r.changed
+
+
+def test_source_mixture_oracle(spark, con, docs):
+    assert_match(cp.source_mixture(docs), con, cp.source_mixture_sql(), min_rows=10)
+
+
+def test_source_mixture_smoothing_upweights_small_sources(spark, docs):
+    rows = {r.source: r for r in cp.source_mixture(docs).collect()}
+    small = min(rows.values(), key=lambda r: r.n_tokens)
+    big = max(rows.values(), key=lambda r: r.n_tokens)
+    # sqrt smoothing moves share toward uniform: small gains, big loses
+    assert small.smoothed_share_u >= small.share_u
+    assert big.smoothed_share_u <= big.share_u
+
+
+def test_materialize_chunks_oracle(spark, con, docs):
+    assert_match(
+        cp.materialize_chunks(docs), con, cp.materialize_chunks_sql(), min_rows=100
+    )
+
+
+def test_materialize_chunks_full_and_consistent(spark, docs):
+    m = cp.materialize_chunks(docs).cache()
+    last = m.groupBy("source").agg(F.max("chunk_id").alias("last_chunk"))
+    not_full = (
+        m.join(last, "source")
+        .where(f"chunk_id <> last_chunk AND n_tokens <> {cp.PACK_CAPACITY}")
+        .count()
+    )
+    assert not_full == 0
+    # text content is the word-accurate concatenation: total tokens
+    # across chunks == total words across packed docs
+    total = m.agg(F.sum("n_tokens")).collect()[0][0]
+    words = docs.selectExpr(
+        "size(filter(split(trim(text), '\\\\s+'), w -> w <> '')) AS n"
+    ).agg(F.sum("n")).collect()[0][0]
+    assert total == words
+    m.unpersist()
