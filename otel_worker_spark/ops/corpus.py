@@ -184,7 +184,7 @@ QF_MAX_MWL_M = 8000   # ≤ 8.0 chars
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 _QF_MWL = (
-    f"CAST(floor(1000.0 * length(regexp_replace(text, '\\\\s', '')) / size({_WORDS})) AS INT)"
+    f"CAST(floor(1000.0 * length(regexp_replace(text, '\\\\s', '')) / greatest(1, size({_WORDS}))) AS INT)"
 )
 #: the keep predicate as one inline boolean expression (used by
 #: curate_and_pack as a plain filter — no join-back)
@@ -205,7 +205,7 @@ def quality_filter(documents: DataFrame) -> DataFrame:
         "source",
         F.expr(f"size({_WORDS})").alias("n_tokens"),
         F.expr(
-            f"CAST(floor(1000.0 * length(regexp_replace(text, '\\\\s', '')) / size({_WORDS})) AS INT)"
+            f"CAST(floor(1000.0 * length(regexp_replace(text, '\\\\s', '')) / greatest(1, size({_WORDS}))) AS INT)"
         ).alias("mean_wlen_m"),
         F.expr(f"size(filter({_WORDS}, w -> w IN {stop}))").alias("stopword_hits"),
     )
@@ -229,7 +229,7 @@ def quality_filter_sql() -> str:
 WITH d AS (
   SELECT doc_id, source,
          len({_WORDS_DUCK}) AS n_tokens,
-         CAST(floor(1000.0 * length(regexp_replace(text, '\\s', '', 'g')) / len({_WORDS_DUCK})) AS INT) AS mean_wlen_m,
+         CAST(floor(1000.0 * length(regexp_replace(text, '\\s', '', 'g')) / greatest(1, len({_WORDS_DUCK}))) AS INT) AS mean_wlen_m,
          len(list_filter({_WORDS_DUCK}, w -> w IN {stop})) AS stopword_hits
   FROM documents
 )

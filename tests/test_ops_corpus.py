@@ -267,3 +267,19 @@ def test_materialize_chunks_full_and_consistent(spark, docs):
     ).agg(F.sum("n")).collect()[0][0]
     assert total == words
     m.unpersist()
+
+
+def test_quality_filter_empty_docs_quarantine_not_crash(spark):
+    """ANSI mode: an empty/whitespace-only document must flow through
+    the rules as 'too_short', never a DIVIDE_BY_ZERO job abort."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    edge = s.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "   ", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.doc_id: r for r in cp.quality_filter(edge).collect()}
+    assert all(r.drop_reason == "too_short" and not r.keep for r in rows.values())
+    # the composed DAG also survives (filters, then packs nothing)
+    assert cp.curate_and_pack(edge).count() == 0
