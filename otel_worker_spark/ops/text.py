@@ -49,7 +49,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
             f"CAST(floor(1000.0 * size(filter({toks}, t -> t IN {STOPWORDS})) / size({toks})) AS INT)"
         ).alias("stopword_ratio_m"),
         F.expr(
-            f"CAST(floor(1000.0 * length(regexp_replace(text, '[^a-z0-9]', '')) / length(text)) AS INT)"
+            f"CAST(floor(1000.0 * length(regexp_replace(text, '[^a-z0-9]', '')) / greatest(1, length(text))) AS INT)"
         ).alias("alnum_ratio_m"),
         F.expr(
             f"CAST(floor(1000.0 * size(array_distinct({toks})) / size({toks})) AS INT)"
@@ -68,7 +68,7 @@ SELECT doc_id,
        len({toks}) AS n_tokens,
        len(list_distinct({toks})) AS n_distinct_tokens,
        CAST(floor(1000.0 * len(list_filter({toks}, t -> t IN {stop})) / len({toks})) AS INT) AS stopword_ratio_m,
-       CAST(floor(1000.0 * length(regexp_replace(text, '[^a-z0-9]', '', 'g')) / length(text)) AS INT) AS alnum_ratio_m,
+       CAST(floor(1000.0 * length(regexp_replace(text, '[^a-z0-9]', '', 'g')) / greatest(1, length(text))) AS INT) AS alnum_ratio_m,
        CAST(floor(1000.0 * len(list_distinct({toks})) / len({toks})) AS INT) AS distinct_ratio_m
 FROM documents
 """

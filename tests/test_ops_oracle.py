@@ -151,3 +151,14 @@ def test_connected_components_chain_and_cycles(spark):
 
 def test_dedup_groups_oracle(spark, con, docs):
     assert_match(dd.dedup_groups(docs), con, dd.dedup_groups_sql(), min_rows=500)
+
+
+def test_text_stats_empty_doc_no_crash(spark, con):
+    """ANSI: empty/whitespace-only docs flow through text_stats with
+    guarded ratios, never a DIVIDE_BY_ZERO abort; oracle still agrees."""
+    edge = spark.createDataFrame(
+        [(9001, "", "en", "s", 0), (9002, "   ", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = tx.text_stats(edge).collect()
+    assert len(rows) == 2 and all(r.alnum_ratio_m == 0 for r in rows)
