@@ -45,11 +45,20 @@ def _dot_duck(a: str, b: str) -> str:
 
 
 def _cosine_spark(a: str, b: str) -> str:
-    return f"({_dot_spark(a, b)} / (sqrt({_dot_spark(a, a)}) * sqrt({_dot_spark(b, b)})))"
+    # greatest(…, 1e-300) guards the zero-vector norm (ANSI mode turns
+    # x/0 into a job abort, not a NULL); any real norm dwarfs it, so
+    # nonzero vectors are bit-unchanged and zero vectors score 0
+    return (
+        f"({_dot_spark(a, b)} / greatest(CAST(1e-300 AS DOUBLE),"
+        f" sqrt({_dot_spark(a, a)}) * sqrt({_dot_spark(b, b)})))"
+    )
 
 
 def _cosine_duck(a: str, b: str) -> str:
-    return f"({_dot_duck(a, b)} / (sqrt({_dot_duck(a, a)}) * sqrt({_dot_duck(b, b)})))"
+    return (
+        f"({_dot_duck(a, b)} / greatest(CAST(1e-300 AS DOUBLE),"
+        f" sqrt({_dot_duck(a, a)}) * sqrt({_dot_duck(b, b)})))"
+    )
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:

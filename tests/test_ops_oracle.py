@@ -162,3 +162,16 @@ def test_text_stats_empty_doc_no_crash(spark, con):
     )
     rows = tx.text_stats(edge).collect()
     assert len(rows) == 2 and all(r.alnum_ratio_m == 0 for r in rows)
+
+
+def test_cosine_zero_vector_no_crash(spark):
+    """ANSI: a zero embedding must score cosine 0, never abort the job
+    with DIVIDE_BY_ZERO (denominator guarded in both engines)."""
+    edge = spark.createDataFrame(
+        [(0, [0.0] * 64, 1), (1, [1.0] * 64, 1), (2, [0.5] * 64, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = sim.cosine_topk(edge).collect()
+    zero_scores = [r.cosine_u for r in rows if r.query_id == 0]
+    assert zero_scores and all(s == 0 for s in zero_scores)
+    assert sim.ivf_topk(edge).count() > 0
