@@ -237,18 +237,32 @@ def _registry_sweep(spark) -> dict:
     regressions attributable query-by-query). Runs at the CORRECTNESS
     scale (sf0.01 by default — same data the driver's oracle gate
     uses) so the sweep stays seconds, not minutes; the sf0.1 headline
-    numbers above cover the throughput story."""
-    from otel_worker_spark.registry import queries
+    numbers above cover the throughput story.
+
+    The shared parse is persisted ONCE (registry parse cache): 15
+    ``pipeline_*`` entries all re-run the same parse→enrich→route
+    subplan, and without the cache each sweep entry's number was
+    dominated by that fixed cost (severity_hist read 6.1 s for a
+    3-row aggregate in the r2 archive) rather than the query itself.
+    """
+    import otel_worker_spark.registry as reg
 
     sf = os.environ.get("BENCH_REGISTRY_SF", "/root/testdata/sf0.01")
     out: dict[str, float] = {}
-    for name, fn in queries().items():
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf).count()
-            out[name] = round(time.perf_counter() - t0, 3)
-        except Exception:
-            out[name] = -1.0  # failed — visible in the archive
+    reg.enable_parse_cache()
+    try:
+        # warm the shared parse once (untimed) so every entry below
+        # measures its own marginal cost
+        reg._valid(spark, sf).count()
+        for name, fn in reg.queries().items():
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf).count()
+                out[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                out[name] = -1.0  # failed — visible in the archive
+    finally:
+        reg.clear_parse_cache()
     return out
 
 
@@ -342,14 +356,17 @@ def main() -> None:
 
     calib_before = _cpu_calibration()
     primary = _measure(CPUS)
+    # The one printed line stays COMPACT (headline timings only): the
+    # r2 line embedded every per-run sample + the 60-query sweep and
+    # grew past the driver's tail capture (BENCH_r02.json parsed:null).
+    # The full detail — per-run times, registry sweep — goes to a side
+    # file next to this script instead.
     result = {
         "metric": "parse->route->aggregate throughput (sequences/sec)",
         "value": primary["queries"]["pipeline_agg"],
         "unit": "sec",
         "sf": SF_DIR,
         "queries": primary["queries"],
-        "query_runs": primary.get("query_runs", {}),
-        "registry": primary.get("registry", {}),
         "n_seq": primary["n_seq"],
         "cores": CPUS,
         "throughput_seq_per_sec": primary["throughput_seq_per_sec"],
@@ -360,6 +377,10 @@ def main() -> None:
         "calibration_mb_per_sec": {"before": calib_before, "after": _cpu_calibration()},
         # whole-box denominator (aggregate MB/s across CPUS procs)
         "calibration_mc_mb_per_sec": _cpu_calibration_multicore(CPUS),
+    }
+    detail = {
+        "query_runs": primary.get("query_runs", {}),
+        "registry": primary.get("registry", {}),
     }
 
     if os.environ.get("BENCH_SCALING", "1") != "0":
@@ -428,6 +449,14 @@ def main() -> None:
         shutil.rmtree(scale_tmp, ignore_errors=True)
         if round_pairs:
             best = max(round_pairs, key=lambda p: p["efficiency"])
+            effs = sorted(p["efficiency"] for p in round_pairs)
+            n = len(effs)
+            # median same-round pair: the robustness headline next to
+            # the best pair (best-of-N on a drifting box flatters;
+            # the ≥0.8 criterion should hold on the median too)
+            median_eff = round(
+                effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2, 3
+            )
             lo, hi = levels[SCALE_LOW], levels[SCALE_HIGH]
             result["scaling"] = {
                 "low_cores": SCALE_LOW,
@@ -436,8 +465,9 @@ def main() -> None:
                 "throughput_low": best["throughput_low"],
                 "throughput_high": best["throughput_high"],
                 "efficiency": best["efficiency"],
+                "efficiency_median": median_eff,
                 "estimator": "best same-round (high, low) pair of "
-                             f"{len(round_pairs)} rounds",
+                             f"{len(round_pairs)} rounds; median alongside",
                 "round_pairs": round_pairs,
                 "peak_of_level": {
                     "throughput_low": lo["seq_per_sec"],
@@ -450,6 +480,11 @@ def main() -> None:
                 },
             }
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump({**detail, "headline": result}, f, indent=1)
     print(json.dumps(result))
 
 

@@ -762,6 +762,116 @@ def materialize_chunks(documents: DataFrame, capacity: int = PACK_CAPACITY) -> D
     )
 
 
+TOKEN_CHUNK_CAP = 512
+
+
+def materialize_token_chunks(
+    tokens_df: DataFrame, capacity: int = TOKEN_CHUNK_CAP
+) -> DataFrame:
+    """Token-NATIVE packing over the north-rule input table itself
+    (``doc_id, tokens: array<int32>, n_tok, source``): concatenate the
+    actual token arrays in doc_id order within each source and cut
+    fixed-``capacity`` training sequences — ``materialize_chunks``'
+    algebra applied to int arrays instead of re-tokenized words (the
+    r2 verdict's token-native gap).
+
+    Same scale shape: per-source cumsum window → explode over the
+    chunks a doc straddles with doc-internal slice bounds → ONE
+    groupBy (source, chunk_id) order-merging the slices. The token
+    payload rides the narrow map stages; only chunk-boundary pieces
+    move in the final exchange. Emits the packed array as a '-'-joined
+    string so the cross-engine value-hash is exact token-array
+    equality."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        tokens_df.select(
+            "doc_id",
+            "source",
+            "tokens",
+            F.expr("size(tokens)").cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("cum_end", F.sum("n_tokens").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    )
+    pieces = base.select(
+        "source",
+        "tokens",
+        "cum_start",
+        "cum_end",
+        F.explode(
+            F.expr(f"sequence(cum_start div {capacity}, (cum_end - 1) div {capacity})")
+        ).alias("chunk_id"),
+    ).select(
+        "source",
+        "chunk_id",
+        (
+            F.greatest("cum_start", F.col("chunk_id") * capacity)
+            - F.col("chunk_id") * capacity
+        ).alias("chunk_offset"),
+        F.expr(
+            f"slice(tokens, CAST(greatest(cum_start, chunk_id * {capacity}) - cum_start + 1 AS INT),"
+            f" CAST(least(cum_end, (chunk_id + 1) * {capacity}) - greatest(cum_start, chunk_id * {capacity}) AS INT))"
+        ).alias("piece"),
+    )
+    merged = pieces.groupBy("source", "chunk_id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(chunk_offset, piece))),"
+            " s -> s.piece))"
+        ).alias("tokens")
+    )
+    return merged.select(
+        "source",
+        "chunk_id",
+        F.expr("size(tokens)").alias("n_tokens"),
+        F.expr("concat_ws('-', tokens)").alias("tokens_str"),
+    )
+
+
+def materialize_token_chunks_sql(capacity: int = TOKEN_CHUNK_CAP) -> str:
+    """Oracle twin: rebuilds the token table from ``events`` via the
+    shared payload recipe (identity byte vocab — token i = unicode of
+    payload char i), then replicates the packing algebra."""
+    from ..fixtures import DOC_ID, SERVICE, payload_sql, render
+
+    d = lambda s: render(s, "duckdb")
+    return f"""
+WITH p AS (
+  SELECT {d(DOC_ID)} AS doc_id, {d(SERVICE)} AS source,
+         {d(payload_sql('duckdb'))} AS payload
+  FROM events
+), t AS (
+  SELECT doc_id, source,
+         [unicode(substr(payload, i, 1)) for i in range(1, length(payload) + 1)] AS tokens,
+         CAST(length(payload) AS BIGINT) AS n_tokens
+  FROM p WHERE length(payload) > 0
+), c AS (
+  SELECT doc_id, source, tokens, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM t
+), s AS (
+  SELECT source, tokens, cum_end - n_tokens AS cum_start, cum_end,
+         unnest(range((cum_end - n_tokens) // {capacity}, (cum_end - 1) // {capacity} + 1)) AS chunk_id
+  FROM c
+), pieces AS (
+  SELECT source, chunk_id,
+         greatest(cum_start, chunk_id * {capacity}) - chunk_id * {capacity} AS chunk_offset,
+         tokens[CAST(greatest(cum_start, chunk_id * {capacity}) - cum_start + 1 AS BIGINT) :
+                CAST(least(cum_end, (chunk_id + 1) * {capacity}) - cum_start AS BIGINT)] AS piece
+  FROM s
+)
+SELECT source, chunk_id,
+       CAST(len(flatten(list(piece ORDER BY chunk_offset))) AS INT) AS n_tokens,
+       array_to_string(flatten(list(piece ORDER BY chunk_offset)), '-') AS tokens_str
+FROM pieces GROUP BY source, chunk_id
+"""
+
+
 def materialize_chunks_sql(capacity: int = PACK_CAPACITY) -> str:
     return f"""
 WITH base AS (

@@ -163,33 +163,75 @@ N_PROBE = 4
 
 def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic coarse quantizer: the first ``n_centroids``
-    vectors ARE the centroids (production swaps in k-means-trained
-    centroids — the plumbing below is identical; determinism keeps the
-    DuckDB oracle exact)."""
+    vectors ARE the centroids (``kmeans_centroids`` below is the
+    trained quantizer — same plumbing; determinism keeps the DuckDB
+    oracle exact)."""
     return embeddings.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c")
     )
 
 
+def _collect_centroids(embeddings: DataFrame, n_centroids: int) -> list[tuple[int, list[float]]]:
+    """Materialize the (broadcast-sized) centroid set on the driver so
+    the per-vector argmax can be a literal fold — the collect is ≤16
+    rows, the same bytes a broadcast would ship to every executor."""
+    rows = (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in rows)
+
+
+def _arr_lit(vec: list[float]) -> str:
+    """Literal double array: repr() round-trips float64 exactly, and
+    Spark's string→double cast is correctly rounded, so the engine
+    sees bit-identical values to the collected column."""
+    return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
+
+
+def _scaled_arr_lit(vec: list[int]) -> str:
+    """Literal centroid from floor-scaled BIGINTs: the ÷10^6 happens
+    IN-ENGINE (both Spark and the DuckDB oracle divide the same exact
+    integers), so quantized k-means centroids stay bit-identical
+    across engines."""
+    return (
+        "array("
+        + ", ".join(f"(CAST({v} AS DOUBLE) / 1000000.0)" for v in vec)
+        + ")"
+    )
+
+
+def _argmax_centroid(col: str, cents: list[tuple[int, str]]) -> F.Column:
+    """Map-side nearest-centroid fold: ``greatest`` over per-centroid
+    (sim_u, -cent_id) structs — max sim, tiebreak cent_id asc. Pure
+    row expression: no join, no window, NO exchange (the r2 window
+    form shuffled corpus×16 scored rows just to pick a max — a
+    needless corpus-sized exchange at 100×)."""
+    structs = [
+        F.struct(
+            F.expr(
+                f"CAST(floor(1000000.0 * {_cosine_spark(col, arr)}) AS BIGINT)"
+            ).alias("sim_u"),
+            F.lit(-cid).cast("long").alias("neg_cent"),
+        )
+        for cid, arr in cents
+    ]
+    return F.greatest(*structs)
+
+
 def ivf_assignments(embeddings: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     """IVF list assignment: every vector → its nearest centroid
     (cosine, floor-scaled for cross-engine tie determinism; tiebreak
-    cent_id asc). Plan: broadcast the tiny centroid set, score 16
-    candidates per vector map-side, keep the argmax via window — a
-    narrow pass over the corpus, no shuffle except the window's
-    partition-local sort."""
-    cents = _centroids(embeddings, n_centroids)
-    cos = _cosine_spark("embedding", "c")
-    scored = embeddings.join(F.broadcast(cents)).select(
+    cent_id asc). Plan: the centroid set folds into a literal argmax
+    expression evaluated map-side — one narrow pass over the corpus,
+    zero exchanges (plan-asserted in tests/test_plans.py)."""
+    cents = [(cid, _arr_lit(v)) for cid, v in _collect_centroids(embeddings, n_centroids)]
+    best = _argmax_centroid("embedding", cents)
+    return embeddings.select("vec_id", best.alias("best")).select(
         "vec_id",
-        "cent_id",
-        F.expr(f"CAST(floor(1000000.0 * {cos}) AS BIGINT)").alias("sim_u"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_u"), F.asc("cent_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("vec_id", "cent_id", "sim_u")
+        (-F.col("best.neg_cent")).alias("cent_id"),
+        F.col("best.sim_u").alias("sim_u"),
     )
 
 
@@ -225,10 +267,12 @@ def ivf_topk(
     an EQUI-JOIN on cent_id against the IVF assignments (1/
     (n_centroids/n_probe) of the corpus per query on balanced lists),
     then exact cosine rerank + per-query top-k. No cross join; the
-    probe fan-out is broadcast-sized. Recall is approximate by
-    construction (a true neighbor assigned to an unprobed list is
-    missed) — the oracle replicates the SAME algorithm, so the check
-    is exact."""
+    probe fan-out is broadcast-sized; the corpus-side assignment is
+    the zero-exchange literal fold (the embedding column rides along,
+    so there is no assignments→embeddings self-join either). Recall is
+    approximate by construction (a true neighbor assigned to an
+    unprobed list is missed) — the oracle replicates the SAME
+    algorithm, so the check is exact."""
     cents = _centroids(embeddings, n_centroids)
     queries = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
@@ -247,10 +291,12 @@ def ivf_topk(
         .where(F.col("rn") <= n_probe)
         .select("query_id", "q", "cent_id")
     )
-    assigned = ivf_assignments(embeddings, n_centroids).join(
-        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")),
-        F.col("vec_id") == F.col("neighbor_id"),
-    ).select("neighbor_id", "cent_id", "e")
+    lits = [(cid, _arr_lit(v)) for cid, v in _collect_centroids(embeddings, n_centroids)]
+    assigned = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e"),
+        (-_argmax_centroid("embedding", lits)["neg_cent"]).alias("cent_id"),
+    )
     cos = _cosine_spark("q", "e")
     cand = (
         F.broadcast(probes)
@@ -332,6 +378,221 @@ def embedding_near_dup(
         )
         .where(F.col("cosine_u") >= int(threshold * 1_000_000))
     )
+
+
+# -------------------------------------------------- k-means IVF
+
+KMEANS_ITERS = 2
+
+
+def _quant_expr(col: str) -> str:
+    """array<float> → floor-scaled BIGINT array (10^6): the exact-
+    integer representation both engines agree on bit-for-bit."""
+    return f"transform({col}, x -> CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT))"
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = N_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+) -> list[tuple[int, list[int]]]:
+    """Deterministic quantized Lloyd's k-means — the trained coarse
+    quantizer for IVF (replaces the first-k stub the r2 verdict
+    flagged). Returns [(cent_id, scaled-int vector)].
+
+    Determinism/oracle story: centroids live as floor-scaled BIGINTs;
+    the engine divides by 10^6 to get the centroid double (exact for
+    |v| < 2^53), assignment is argmax of floor-scaled cosine with
+    cent_id-asc tiebreak, and the update sums scaled ints (order-
+    independent BIGINT adds — no float summation-order divergence)
+    then floor-divides via double (exact: |sum| ≪ 2^53). Every step
+    is replicated verbatim by the DuckDB oracle, so the check is
+    exact, not approximate.
+
+    Scale shape per iteration: one narrow map (the literal argmax
+    fold, zero exchange) + one partial/final agg producing ≤k rows of
+    dim partial sums — the classic broadcast-Lloyd plan; corpus never
+    shuffles. Empty clusters keep their previous centroid.
+    """
+    import math
+
+    init = (
+        embeddings.where(F.col("vec_id") < k)
+        .select("vec_id", F.expr(_quant_expr("embedding")).alias("q"))
+        .collect()
+    )
+    cents = {int(r.vec_id): [int(v) for v in r.q] for r in init}
+    dim = len(next(iter(cents.values())))
+    quant = embeddings.select(
+        "vec_id", "embedding", F.expr(_quant_expr("embedding")).alias("q")
+    )
+    for _ in range(iters):
+        lits = [(cid, _scaled_arr_lit(v)) for cid, v in sorted(cents.items())]
+        assigned = quant.select(
+            (-_argmax_centroid("embedding", lits)["neg_cent"]).alias("cent_id"), "q"
+        )
+        sums = assigned.groupBy("cent_id").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.expr(f"q[{d}]")).alias(f"s{d}") for d in range(dim)],
+        ).collect()
+        for r in sums:
+            n = float(r["n"])
+            cents[int(r["cent_id"])] = [
+                int(math.floor(int(r[f"s{d}"]) / n)) for d in range(dim)
+            ]
+    return sorted(cents.items())
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """IVF top-k with the k-means-TRAINED quantizer: identical probe/
+    candidate/rerank plumbing to ``ivf_topk``, centroids from
+    ``kmeans_centroids``. Probes and assignment are both literal folds
+    (the centroid set is driver-held after training); the only
+    corpus-touching stages are the zero-exchange assignment map and
+    the broadcast-probe equi-join."""
+    cents = kmeans_centroids(embeddings, n_centroids, iters)
+    lits = [(cid, _scaled_arr_lit(v)) for cid, v in cents]
+    # probe lists per query: explode the literal centroid structs
+    # (n_queries × n_centroids rows — broadcast-sized)
+    cent_structs = "array(" + ", ".join(
+        f"struct(CAST({cid} AS BIGINT) AS cent_id, {_scaled_arr_lit(v)} AS c)"
+        for cid, v in cents
+    ) + ")"
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qcos = _cosine_spark("q", "cc.c")
+    qscored = queries.select(
+        "query_id", "q", F.explode(F.expr(cent_structs)).alias("cc")
+    ).select(
+        "query_id",
+        "q",
+        F.col("cc.cent_id").alias("cent_id"),
+        F.expr(f"CAST(floor(1000000.0 * {qcos}) AS BIGINT)").alias("sim_u"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim_u"), F.asc("cent_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "q", "cent_id")
+    )
+    assigned = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e"),
+        (-_argmax_centroid("embedding", lits)["neg_cent"]).alias("cent_id"),
+    )
+    cos = _cosine_spark("q", "e")
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cent_id")
+        .where(F.expr("query_id <> neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"CAST(floor(1000000.0 * {cos}) AS BIGINT)").alias("cosine_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_u"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_u")
+    )
+
+
+def ivf_kmeans_topk_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    iters: int = KMEANS_ITERS,
+) -> str:
+    """DuckDB twin of the FULL pipeline — Lloyd iterations included —
+    generated as a CTE chain (q → c0 → a1 → c1 → … → assignment →
+    probes → rerank), so the oracle check covers the trained centroids
+    themselves, not just the final top-k."""
+    cd = "[CAST(c[i] AS DOUBLE) / 1000000.0 for i in range(1, len(c) + 1)]"
+    dim = EMB_DIM
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id, embedding,
+         [CAST(floor(1000000.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cent_id, qv AS c, {cd} AS cd
+  FROM q WHERE vec_id < {n_centroids}
+)"""
+    ]
+    cos_assign = _cosine_duck("q.embedding", "c.cd")
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", a{t} AS (
+  SELECT vec_id, qv, cent_id FROM (
+    SELECT q.vec_id, q.qv, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(floor(1000000.0 * {cos_assign}) AS BIGINT) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM q, c{t - 1} c
+  ) t WHERE rn = 1
+), s{t} AS (
+  SELECT cent_id, list(v ORDER BY i) AS c FROM (
+    SELECT cent_id, r.i AS i,
+           CAST(floor(CAST(sum(qv[r.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+    FROM a{t}, range(1, {dim + 1}) r(i) GROUP BY cent_id, r.i
+  ) u GROUP BY cent_id
+), c{t} AS (
+  SELECT p.cent_id, coalesce(n.c, p.c) AS c,
+         [CAST(coalesce(n.c, p.c)[i] AS DOUBLE) / 1000000.0
+          for i in range(1, len(coalesce(n.c, p.c)) + 1)] AS cd
+  FROM c{t - 1} p LEFT JOIN s{t} n USING (cent_id)
+)"""
+        )
+    fin = f"c{iters}"
+    qcos = _cosine_duck("qq.q", "c.cd")
+    cos = _cosine_duck("p.q", "e.embedding")
+    parts.append(
+        f""", assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT q.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(floor(1000000.0 * {cos_assign}) AS BIGINT) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM q, {fin} c
+  ) t WHERE rn = 1
+), qq AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {n_queries}
+), probes AS (
+  SELECT query_id, q, cent_id FROM (
+    SELECT qq.query_id, qq.q, c.cent_id,
+           row_number() OVER (PARTITION BY qq.query_id
+                              ORDER BY CAST(floor(1000000.0 * {qcos}) AS BIGINT) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM qq, {fin} c
+  ) t WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id,
+         a.vec_id AS neighbor_id,
+         CAST(floor(1000000.0 * {cos}) AS BIGINT) AS cosine_u
+  FROM probes p JOIN assigned a USING (cent_id)
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, rank, neighbor_id, cosine_u FROM (
+  SELECT query_id, neighbor_id, cosine_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_u DESC, neighbor_id ASC) AS rank
+  FROM cand
+) t WHERE rank <= {k}"""
+    )
+    return "".join(parts)
 
 
 def embedding_near_dup_sql(threshold: float = 0.35, n_planes: int = 6) -> str:

@@ -74,15 +74,51 @@ _QUERY_COLS = [
 ]
 
 
+#: opt-in memo of the shared parse subplan (enable_parse_cache):
+#: 15 pipeline_* queries rebuild the identical parse→enrich→route
+#: stage, and a sweep/gate running all of them re-parses 15× unless
+#: the frame is persisted once. Keyed by (sf_dir, with_inner) —
+#: reusing the same DataFrame OBJECT guarantees the InMemoryRelation
+#: hit (plan-canonicalization across separately-built Python stages
+#: is not something to rely on).
+_PARSE_CACHE: dict[tuple, DataFrame] = {}
+_PARSE_CACHE_ON = False
+
+
+def enable_parse_cache() -> None:
+    global _PARSE_CACHE_ON
+    _PARSE_CACHE_ON = True
+
+
+def clear_parse_cache() -> None:
+    global _PARSE_CACHE_ON
+    _PARSE_CACHE_ON = False
+    for df in _PARSE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PARSE_CACHE.clear()
+
+
 def _spans(spark: SparkSession, sf_dir: str, with_inner: bool = False) -> DataFrame:
     """events → token table → the full parse/enrich/route pipeline."""
+    key = (sf_dir, with_inner)
+    if _PARSE_CACHE_ON and key in _PARSE_CACHE:
+        return _PARSE_CACHE[key]
     tok = token_sequences_from_events(spark, sf_dir)
-    return transform_batch(
+    out = transform_batch(
         tok,
         service_lookup_df(spark),
         with_inner=with_inner,
         columns=None if with_inner else _QUERY_COLS,
     )
+    if _PARSE_CACHE_ON:
+        from pyspark.storagelevel import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        _PARSE_CACHE[key] = out
+    return out
 
 
 def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_near_dup": lambda s, d: sim.embedding_near_dup(_embs(s, d)),
         "ann_ivf_assignments": lambda s, d: sim.ivf_assignments(_embs(s, d)),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
+        "ann_ivf_kmeans_topk": lambda s, d: sim.ivf_kmeans_topk(_embs(s, d)),
         # corpus curation (packing / filtering / splits / stats)
         "corpus_pack_chunks": lambda s, d: cp.pack_chunks(_docs(s, d)),
         "corpus_curate_pack": lambda s, d: cp.curate_and_pack(_docs(s, d)),
@@ -765,6 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_normalize_text": lambda s, d: cp.normalize_text(_docs(s, d)),
         "corpus_source_mixture": lambda s, d: cp.source_mixture(_docs(s, d)),
         "corpus_materialize_chunks": lambda s, d: cp.materialize_chunks(_docs(s, d)),
+        "corpus_materialize_token_chunks": lambda s, d: cp.materialize_token_chunks(
+            token_sequences_from_events(s, d)
+        ),
         # multimodal plumbing (mapInPandas): per-doc exact-integer
         # features, fully oracle-checked; the float summary aggregate
         # stays a rows-only check (float avg hashing is engine-hostile)
@@ -820,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_embedding_near_dup": sim.embedding_near_dup_sql(),
         "ann_ivf_assignments": sim.ivf_assignments_sql(),
         "ann_ivf_topk": sim.ivf_topk_sql(),
+        "ann_ivf_kmeans_topk": sim.ivf_kmeans_topk_sql(),
         "corpus_pack_chunks": cp.pack_chunks_sql(),
         "corpus_curate_pack": cp.curate_and_pack_sql(),
         "corpus_quality_filter": cp.quality_filter_sql(),
@@ -833,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_normalize_text": cp.normalize_text_sql(),
         "corpus_source_mixture": cp.source_mixture_sql(),
         "corpus_materialize_chunks": cp.materialize_chunks_sql(),
+        "corpus_materialize_token_chunks": cp.materialize_token_chunks_sql(),
         "multimodal_features": mm.media_features_exact_sql(),
         "multimodal_summary": mm.media_feature_summary_sql(),
     }

@@ -188,6 +188,47 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "SortMergeJoin" not in s
 
 
+def test_ivf_assignment_has_no_exchange(spark):
+    """r2 verdict item: the IVF nearest-centroid assignment must be a
+    map-side literal fold — the window form shuffled corpus×16 scored
+    rows just to pick a max (a corpus-sized exchange at 100×)."""
+    from otel_worker_spark.ops import similarity as sim
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    s = plan_of(sim.ivf_assignments(e))
+    assert "Exchange" not in s
+    assert "Join" not in s and "Window" not in s
+
+
+def test_ivf_topk_corpus_side_stays_narrow(spark):
+    """ivf_topk / ivf_kmeans_topk: the corpus must reach the probe
+    equi-join through the zero-exchange assignment (no self-join back
+    to embeddings, no corpus-side window); the probe side broadcasts."""
+    from otel_worker_spark.ops import similarity as sim
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for df in (sim.ivf_topk(e), sim.ivf_kmeans_topk(e)):
+        s = plan_of(df)
+        assert "BroadcastHashJoin" in s
+        assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+        # exactly one scan feeds the big side of the probe join: the
+        # old shape had assignments JOIN embeddings (two corpus scans
+        # meeting in a shuffle join)
+        assert "ShuffledHashJoin" not in s
+
+
+def test_token_chunk_packing_partitions_by_source(spark):
+    """Token-native packing: per-source windows (parallel across
+    sources), never a single global window funnel."""
+    from otel_worker_spark.fixtures import token_sequences_from_events
+    from otel_worker_spark.ops import corpus as cp
+
+    tok = token_sequences_from_events(spark, SF_DIR)
+    s = plan_of(cp.materialize_token_chunks(tok))
+    assert "Exchange hashpartitioning(source" in s
+    assert "Exchange SinglePartition" not in s
+
+
 def test_corpus_plan_shapes(spark):
     """Corpus ops (100 TB shapes): packing windows partition by source
     (never a single global window); ngram top-k is TakeOrdered, not a
