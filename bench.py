@@ -215,6 +215,7 @@ def _measure(cores: int) -> dict:
             lambda: dd.dedup_groups(docs, hash_impl="xxhash64").count(),
             runs=1,
         )
+        dd.release_persisted_signatures()  # drop the sig caches the runs above left
         timed("ann_cosine_topk", lambda: sim.cosine_topk(embs).count(), runs=1)
         timed("rel_pricing_summary", lambda: rel_pricing_summary(spark, SF_DIR).collect())
 

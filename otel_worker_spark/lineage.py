@@ -77,25 +77,63 @@ class OffsetLog:
         self.root = root
         self.log_dir = os.path.join(root, "_offsets")
         os.makedirs(self.log_dir, exist_ok=True)
+        #: parsed-entry cache: the log is append-only (create-exclusive
+        #: publishes), so each file is parsed at most once per process —
+        #: without this, a long-running stream's per-epoch
+        #: committed_batches() check re-parsed every entry every epoch
+        #: (O(n) per epoch, O(n²) over the stream's lifetime)
+        self._parsed: dict[str, dict] = {}
 
     def _entries(self) -> list[dict]:
         names = sorted(n for n in os.listdir(self.log_dir) if n.endswith(".json"))
-        out = []
         for n in names:
-            with open(os.path.join(self.log_dir, n)) as f:
-                out.append(json.load(f))
-        return out
+            if n not in self._parsed:
+                with open(os.path.join(self.log_dir, n)) as f:
+                    self._parsed[n] = json.load(f)
+        return [self._parsed[n] for n in names]
+
+    def _committed_entries(self) -> list[dict]:
+        return [e for e in self._entries() if e.get("type") != "intent"]
 
     def committed_files(self) -> set[str]:
         """Every input file covered by a committed offset — the resume
         cursor: anything here is done, anything else is pending."""
         done: set[str] = set()
-        for e in self._entries():
+        for e in self._committed_entries():
             done.update(rec["file"] for rec in e.get("input_files", []))
         return done
 
     def committed_batches(self) -> set[str]:
-        return {e["batch_id"] for e in self._entries()}
+        return {e["batch_id"] for e in self._committed_entries()}
+
+    def record_intent(self, batch_id: str, input_files: list[dict]) -> None:
+        """Durable pre-ingest intent: WHICH files the named batch is
+        about to cover, published before any data moves. A crash
+        between the data commit and the offset record then leaves a
+        pending intent, and the retry replays THAT exact (batch_id,
+        file set) — the store's idempotency key — rather than
+        regrouping the directory listing, which shifts if new files
+        landed in the meantime and would double-ingest the crashed
+        group under a fresh batch_id."""
+        commit_json(
+            self.log_dir,
+            {"type": "intent", "batch_id": str(batch_id), "input_files": input_files},
+        )
+
+    def pending_intents(self) -> list[dict]:
+        """Intents with no matching committed offset — the crash
+        window's exact contents (normally empty)."""
+        done = self.committed_batches()
+        out, seen = [], set()
+        for e in self._entries():
+            if (
+                e.get("type") == "intent"
+                and e["batch_id"] not in done
+                and e["batch_id"] not in seen
+            ):
+                seen.add(e["batch_id"])
+                out.append(e)
+        return out
 
     def record(
         self,
@@ -134,7 +172,7 @@ class OffsetLog:
                 rec["rows"],
                 float(e["committed_at"]),
             )
-            for e in self._entries()
+            for e in self._committed_entries()
             for rec in e.get("input_files", [])
         ]
         return self.spark.createDataFrame(
@@ -151,7 +189,7 @@ class OffsetLog:
                 float(e["rows_per_s"]) if e.get("rows_per_s") else None,
                 bool(e.get("replayed", False)),
             )
-            for e in self._entries()
+            for e in self._committed_entries()
         ]
         return self.spark.createDataFrame(
             rows,
@@ -164,7 +202,7 @@ class OffsetLog:
         which sink partition got how many rows from which batch."""
         rows = [
             (e["batch_id"], rec.get("partition"), rec["rows"], rec["file"])
-            for e in self._entries()
+            for e in self._committed_entries()
             for rec in e.get("sink_partitions", [])
         ]
         return self.spark.createDataFrame(
@@ -201,29 +239,28 @@ def ingest_directory(
     """Resumable batch ingest of a token-table directory.
 
     Deterministic batching: the sorted pending-file list is chunked
-    into groups of ``files_per_batch``; each group's batch_id is a
-    hash of its file names. Resume covers every crash point:
+    into groups of ``files_per_batch``; each group publishes a durable
+    INTENT (batch_id + file set) before any data moves, then the data
+    commit, then the offset record. Resume covers every crash point:
 
-    - crash before the spans commit → retry re-runs the batch, the
-      deterministic id makes the rerun idempotent;
-    - crash between the spans commit and the offset record → the store
-      short-circuits (``skipped=True``, downstream stores repaired by
-      ingest_batch), and the offset is recorded as ``replayed``;
+    - crash before the spans commit → the pending intent replays the
+      batch; the deterministic id makes the rerun idempotent;
+    - crash between the spans commit and the offset record → the
+      pending intent replays the EXACT original (batch_id, file set),
+      the store short-circuits (``skipped=True``, downstream stores
+      repaired by ingest_batch), and the offset is recorded as
+      ``replayed``. The intent is what makes this safe when NEW files
+      landed in the source dir during the crash window: regrouping the
+      directory listing would shift chunk boundaries and hand the
+      crashed files a fresh batch_id the store has never seen —
+      double-ingesting them;
     - completed batches are skipped entirely via ``committed_files``
       without touching Spark.
 
     Returns the list of batch receipts (with metrics merged in).
     """
-    done = offsets.committed_files()
-    pending = [f for f in _list_input_files(source_dir) if f not in done]
-    receipts = []
-    for i in range(0, len(pending), files_per_batch):
-        group = pending[i : i + files_per_batch]
-        batch_id = _batch_id_for(group)
-        # per-input-file row counts from the parquet footers (no job)
-        input_files = [
-            {"file": f, "rows": pq.ParquetFile(f).metadata.num_rows} for f in group
-        ]
+
+    def _run(batch_id: str, group: list[str], input_files: list[dict]) -> dict:
         t0 = time.perf_counter()
         token_df = spark.read.parquet(*group)
         receipt = ingest_batch(spark, token_df, service_lookup, stores, batch_id)
@@ -235,5 +272,27 @@ def ingest_directory(
             sink_partitions=receipt.get("lineage", []),
             replayed=bool(receipt.get("skipped")),
         )
-        receipts.append({**receipt, "metrics": entry})
+        return {**receipt, "metrics": entry}
+
+    receipts = []
+    replayed_files: set[str] = set()
+    # 1) drain the crash window: intents with no committed offset
+    for intent in offsets.pending_intents():
+        group = [rec["file"] for rec in intent["input_files"] if os.path.exists(rec["file"])]
+        if not group:
+            continue
+        receipts.append(_run(intent["batch_id"], group, intent["input_files"]))
+        replayed_files.update(group)
+    # 2) deterministic chunking of whatever remains
+    done = offsets.committed_files() | replayed_files
+    pending = [f for f in _list_input_files(source_dir) if f not in done]
+    for i in range(0, len(pending), files_per_batch):
+        group = pending[i : i + files_per_batch]
+        batch_id = _batch_id_for(group)
+        # per-input-file row counts from the parquet footers (no job)
+        input_files = [
+            {"file": f, "rows": pq.ParquetFile(f).metadata.num_rows} for f in group
+        ]
+        offsets.record_intent(batch_id, input_files)
+        receipts.append(_run(batch_id, group, input_files))
     return receipts

@@ -155,6 +155,21 @@ FROM (SELECT doc_id, {_hashes_duck_sql()} AS hs FROM documents) t
 """
 
 
+#: every signature frame minhash_lsh_pairs persists, so long-running
+#: drivers can release cache deterministically between plans
+_PERSISTED_SIGS: list[DataFrame] = []
+
+
+def release_persisted_signatures() -> None:
+    """Unpersist every signature frame cached by ``minhash_lsh_pairs``
+    in this process. Call after the returned plans are materialized."""
+    while _PERSISTED_SIGS:
+        try:
+            _PERSISTED_SIGS.pop().unpersist()
+        except Exception:
+            pass
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -174,15 +189,21 @@ def minhash_lsh_pairs(
     back on doc_id for the estimate. The band exchange and the
     distinct therefore shuffle only small ints — at 128 perms the old
     shape dragged two 1 KB sig arrays through both (32 copies per doc
-    through the explode), which dominated the stage. The persisted
-    signature blocks are freed by Spark's reference-tracking cleaner
-    once the returned plan is garbage collected.
+    through the explode), which dominated the stage. Persisted-block
+    lifetime: blocks are freed by Spark's reference-tracking cleaner
+    once the returned plan is GC'd, AND tracked in a module registry
+    so drivers that build many dedup plans in one session (the bench
+    sweep, the oracle gate) can call
+    ``release_persisted_signatures()`` after materializing — a long
+    session otherwise accumulates cached blocks and evicts more
+    useful cache under memory pressure.
     """
     from pyspark.storagelevel import StorageLevel
 
     sigs = minhash_signatures(documents, hash_impl, n_perms).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _PERSISTED_SIGS.append(sigs)
     rows_per_band = n_perms // n_bands
     bands = sigs.select(
         "doc_id",

@@ -99,6 +99,9 @@ def clear_parse_cache() -> None:
         except Exception:
             pass
     _PARSE_CACHE.clear()
+    # the dedup family persists signature frames per plan — release
+    # those too, so a sweep/gate session ends with a clean cache
+    dd.release_persisted_signatures()
 
 
 def _spans(spark: SparkSession, sf_dir: str, with_inner: bool = False) -> DataFrame:

@@ -136,13 +136,16 @@ def sessionize_stream(
     checkpoint_dir: str,
     gap_s: int = 1800,
     query_name: str = "stream_sessions",
+    max_files_per_trigger: int | None = None,
 ):
     """Custom stateful streaming operator: gap-based sessionization via
     ``applyInPandasWithState`` — the streaming twin of the batch
     ``ops.timeseries.sessionize`` (same session definition, same
     output row per closed session).
 
-    State per user: the open session's (start, last_ts, n_events,
+    State per user: the open session's (start=min ts seen, last=max ts
+    seen — so cross-batch out-of-order arrivals above the watermark
+    can only widen the session, never regress it — n_events,
     n_event_types is approximated exactly by carrying the distinct
     type set — bounded: ≤5 types). A session CLOSES when a later event
     arrives more than ``gap_s`` after its last event (emitted
@@ -221,7 +224,19 @@ def sessionize_stream(
                     types = cur[4]
                     if etype not in types.split(","):
                         types = types + "," + etype if types else etype
-                    cur = (cur[0], us, cur[2] + 1, cur[3] + vc, types)
+                    # (min, max) tracking: an out-of-order event from a
+                    # LATER micro-batch (still above the watermark) with
+                    # ts inside the open session must extend the start
+                    # backwards, never regress last — otherwise
+                    # session_end can precede session_start and later
+                    # gap checks compare against the regressed ts
+                    cur = (
+                        min(cur[0], us),
+                        max(cur[1], us),
+                        cur[2] + 1,
+                        cur[3] + vc,
+                        types,
+                    )
             if cur is not None:
                 state.update(cur)
                 # evict when the watermark passes the gap horizon
@@ -231,9 +246,10 @@ def sessionize_stream(
             out.insert(0, "user_id", user_id)
             yield out
 
-    events = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(source_dir)
-    )
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.load(source_dir)
     sessions = (
         events.withWatermark("ts", f"{gap_s} seconds")
         .groupBy("user_id")
@@ -344,7 +360,12 @@ def dedup_stream(
 
     Survivors land in ``out_dir`` parquet via foreachBatch (the memory
     sink cannot recover from a checkpoint, so it cannot express the
-    restart guarantee this operator exists to give).
+    restart guarantee this operator exists to give). The landing is
+    EPOCH-IDEMPOTENT: each micro-batch overwrites its own
+    ``epoch=<id>`` subdirectory, so a batch replayed after a crash
+    between the write and the checkpoint commit rewrites the same
+    directory instead of appending duplicate survivors — a blind
+    mode('append') here would make the sink at-least-once.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -367,14 +388,27 @@ def dedup_stream(
         ).dropDuplicatesWithinWatermark(["digest"])
     else:
         survivors = digested.dropDuplicates(["digest"])
-    def land(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
     return (
         survivors.select("digest", "doc_id", "source", "n_chars")
         .writeStream.outputMode("append")
-        .foreachBatch(land)
+        .foreachBatch(epoch_idempotent_sink(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def epoch_idempotent_sink(out_dir: str):
+    """foreachBatch landing function with exactly-once output: epoch N
+    writes (overwrite) to ``out_dir/epoch=N``, so Spark's replay of an
+    uncommitted micro-batch — which re-delivers the same rows under
+    the same epoch_id — rewrites rather than duplicates. Readers see
+    the epoch as an ordinary partition column."""
+    import os
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
+
+    return land

@@ -116,6 +116,54 @@ def test_crash_between_data_and_offset_commit_repairs(spark, tmp_root):
     assert offsets.committed_files() == set(files)
 
 
+def test_crash_window_with_new_files_replays_same_batch(spark, tmp_root):
+    """The nastier crash: after the data commit / before the offset
+    record, NEW files land in the source dir. Regrouping the listing
+    would shift chunk boundaries and give the crashed files a fresh
+    batch_id (double-ingest); the durable intent pins the original
+    (batch_id, file set) so the retry replays it verbatim."""
+    src = os.path.join(tmp_root, "tokens")
+    total = _write_token_dir(spark, src, n_files=2)
+    stores = PipelineStores(spark, os.path.join(tmp_root, "stores"))
+    offsets = OffsetLog(spark, os.path.join(tmp_root, "stores"))
+    lookup = service_lookup_df(spark)
+
+    from otel_worker_spark.lineage import _list_input_files
+    from otel_worker_spark.pipeline import ingest_batch
+
+    import pyarrow.parquet as pq
+
+    files = _list_input_files(src)
+    bid = _batch_id_for(files)
+    input_files = [
+        {"file": f, "rows": pq.ParquetFile(f).metadata.num_rows} for f in files
+    ]
+    # intent + data commit, then "crash" before offsets.record
+    offsets.record_intent(bid, input_files)
+    ingest_batch(spark, spark.read.parquet(*files), lookup, stores, bid)
+    assert [i["batch_id"] for i in offsets.pending_intents()] == [bid]
+
+    # new files land DURING the crash window, sorting BEFORE the old
+    # ones — the regrouping trap
+    extra_dir = os.path.join(tmp_root, "extra")
+    n_extra = _write_token_dir(spark, extra_dir, n_files=1)
+    for n in os.listdir(extra_dir):
+        if n.endswith(".parquet"):
+            os.rename(os.path.join(extra_dir, n), os.path.join(src, "aaa-" + n))
+
+    receipts = ingest_directory(
+        spark, src, lookup, stores, offsets, files_per_batch=2
+    )
+    # one replayed (the intent), one fresh (the new file); zero dupes
+    assert len(receipts) == 2
+    assert receipts[0]["skipped"] is True
+    assert receipts[0]["metrics"]["replayed"] is True
+    assert receipts[1]["skipped"] is False
+    assert stores.spans.read().count() == total + n_extra
+    assert offsets.pending_intents() == []
+    assert offsets.committed_files() == set(_list_input_files(src))
+
+
 def test_streaming_records_rate_metrics(spark, tmp_root):
     src = os.path.join(tmp_root, "tokens")
     total = _write_token_dir(spark, src, n_files=4)

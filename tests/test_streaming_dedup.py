@@ -27,6 +27,23 @@ def _with_ts(df):
     return df.withColumn("event_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
 
 
+def test_epoch_sink_is_replay_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a crash between the parquet write
+    and the checkpoint commit re-delivers the same rows under the same
+    epoch_id — the epoch-keyed overwrite sink must land them ONCE."""
+    from otel_worker_spark.streaming import epoch_idempotent_sink
+
+    out = str(tmp_path / "out")
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    land = epoch_idempotent_sink(out)
+    land(df, 7)
+    land(df, 7)  # the replay
+    land(df.where("doc_id < 40"), 8)
+    got = spark.read.parquet(out)
+    assert got.count() == 140
+    assert got.where("epoch = 7").count() == 100
+
+
 def test_stream_dedup_across_batches_and_restart(spark, doc_stream_dirs):
     src, ckpt, out = doc_stream_dirs
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -16,6 +16,53 @@ SF_DIR = "/root/testdata/sf0.001"
 GAP_S = 1800
 
 
+def test_stream_sessionize_out_of_order_across_batches(spark, tmp_root):
+    """An event arriving in a LATER micro-batch (above the watermark)
+    with a ts inside the open session must widen the session, never
+    regress its end: state tracks (min, max), so the closed session
+    reports the true span."""
+    import os as _os
+    import time as _time
+
+    def _write(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    from datetime import datetime
+
+    src = _os.path.join(tmp_root, "ooo-events")
+    ckpt = _os.path.join(tmp_root, "ooo-ckpt")
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    # file 1 → micro-batch 1: two in-order events of one session
+    _write(
+        [(1, t("10:00:00"), 1, "a", 1.0, "{}"), (2, t("10:05:00"), 1, "b", 2.0, "{}")]
+    )
+    _time.sleep(1.1)  # file-source orders by mod time — keep files distinct
+    # file 2 → micro-batch 2: an out-of-order event INSIDE the open
+    # session (above the watermark: 10:05 - gap = 09:35), plus a
+    # far-future flush to close it
+    _write(
+        [
+            (3, t("10:02:00"), 1, "c", 3.0, "{}"),
+            (4, t("13:00:00"), 1, "flush", 0.0, "{}"),
+        ]
+    )
+    q = sessionize_stream(
+        spark, src, ckpt, gap_s=GAP_S, query_name="ooo_s1", max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    rows = spark.table("ooo_s1").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert str(r.session_start) == "2024-01-01 10:00:00"
+    assert str(r.session_end) == "2024-01-01 10:05:00"  # NOT regressed to 10:02
+    assert r.n_events == 3 and r.n_event_types == 3 and r.value_c == 600
+
+
 def test_stream_sessionize_matches_batch(spark, tmp_root):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
 
