@@ -1,0 +1,160 @@
+"""Real HTTP round-trips against the serving shim: reference route
+table, status codes (200/204/400/401/404), camelCase wire JSON, and
+the OTLP ingest content-type echo (api.rs:62-91, handlers/*.rs,
+middleware/auth.rs)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from otel_worker_spark.api import TraceApi, serve
+from otel_worker_spark.fixtures import (
+    GOLDEN_CHILD_SPAN_ID,
+    GOLDEN_ROOT_SPAN_ID,
+    GOLDEN_TRACE_ID,
+    golden_trace_envelope,
+    service_lookup_df,
+)
+from otel_worker_spark.pipeline import PipelineStores
+
+TOKEN = "s3cret-token"
+
+
+def _req(base, path, method="GET", body=None, headers=None):
+    req = urllib.request.Request(base + path, data=body, method=method)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+@pytest.fixture()
+def server(spark, tmp_root):
+    stores = PipelineStores(spark, tmp_root + "/stores")
+    api = TraceApi(spark, stores, service_lookup_df(spark))
+    srv = serve(api)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}", api
+    srv.shutdown()
+
+
+def _ingest_golden(base):
+    body = json.dumps(golden_trace_envelope(), separators=(",", ":")).encode()
+    return _req(
+        base, "/v1/traces", "POST", body, {"Content-Type": "application/json"}
+    )
+
+
+def test_http_round_trip(server):
+    base, _api = server
+    status, out, _ = _ingest_golden(base)
+    assert status == 200 and json.loads(out) == {}
+
+    # list → one TraceSummary, camelCase keys, spans ordered by start
+    status, out, _ = _req(base, "/v1/traces?limit=5")
+    assert status == 200
+    traces = json.loads(out)
+    assert [t["traceId"] for t in traces] == [GOLDEN_TRACE_ID]
+    spans = traces[0]["spans"]
+    assert [s["spanId"] for s in spans] == [GOLDEN_ROOT_SPAN_ID, GOLDEN_CHILD_SPAN_ID]
+    # root omits parentSpanId on the wire (serde skips None)
+    assert "parentSpanId" not in spans[0]
+    assert spans[1]["parentSpanId"] == GOLDEN_ROOT_SPAN_ID
+
+    # point GETs
+    status, out, _ = _req(base, f"/v1/traces/{GOLDEN_TRACE_ID}")
+    assert status == 200 and json.loads(out)["traceId"] == GOLDEN_TRACE_ID
+    status, out, _ = _req(base, f"/v1/traces/{GOLDEN_TRACE_ID}/spans")
+    assert status == 200 and len(json.loads(out)) == 2
+    status, out, _ = _req(
+        base, f"/v1/traces/{GOLDEN_TRACE_ID}/spans/{GOLDEN_CHILD_SPAN_ID}"
+    )
+    assert status == 200
+    got = json.loads(out)
+    assert got["name"] == "database.query" and got["kind"] == "Client"
+
+    # 404 mappings (valid hex, absent rows)
+    status, out, _ = _req(base, "/v1/traces/" + "ab" * 16)
+    assert status == 404 and json.loads(out) == {"error": "notFound"}
+    status, out, _ = _req(
+        base, f"/v1/traces/{GOLDEN_TRACE_ID}/spans/" + "ab" * 8
+    )
+    assert status == 404 and json.loads(out) == {"error": "spanNotFound"}
+
+    # HexEncodedId path rejection → 400; router fallback → 404
+    assert _req(base, "/v1/traces/not-hex")[0] == 400
+    assert _req(base, f"/v1/traces/{GOLDEN_TRACE_ID}/spans/zz")[0] == 400
+    assert _req(base, "/v1/other")[0] == 404
+    assert _req(base, f"/v1/traces/{GOLDEN_TRACE_ID}/nope")[0] == 404
+
+
+def test_http_deletes(server):
+    base, _api = server
+    _ingest_golden(base)
+    status, out, _ = _req(
+        base,
+        f"/v1/traces/{GOLDEN_TRACE_ID}/spans/{GOLDEN_CHILD_SPAN_ID}",
+        "DELETE",
+    )
+    assert status == 204 and out == b""
+    assert (
+        _req(base, f"/v1/traces/{GOLDEN_TRACE_ID}/spans/{GOLDEN_CHILD_SPAN_ID}")[0]
+        == 404
+    )
+    assert len(json.loads(_req(base, f"/v1/traces/{GOLDEN_TRACE_ID}/spans")[1])) == 1
+
+    status, out, _ = _req(base, f"/v1/traces/{GOLDEN_TRACE_ID}", "DELETE")
+    assert status == 204
+    assert _req(base, f"/v1/traces/{GOLDEN_TRACE_ID}")[0] == 404
+    assert json.loads(_req(base, "/v1/traces")[1]) == []
+
+
+def test_http_ingest_idempotent_and_protobuf(server, spark):
+    base, api = server
+    # same export re-delivered → no duplicate spans
+    _ingest_golden(base)
+    _ingest_golden(base)
+    assert len(json.loads(_req(base, f"/v1/traces/{GOLDEN_TRACE_ID}/spans")[1])) == 2
+
+    # protobuf ingest: response echoes the content type with an empty
+    # (no partial_success) body; spans land identically
+    from otel_worker_spark.proto import encode_export_request
+
+    env = golden_trace_envelope()
+    for sp in env["resourceSpans"][0]["scopeSpans"][0]["spans"]:
+        sp["traceId"] = "cd" * 16  # a second trace, over the wire path
+    wire = encode_export_request(env)
+    status, out, headers = _req(
+        base, "/v1/traces", "POST", wire, {"Content-Type": "application/x-protobuf"}
+    )
+    assert status == 200 and out == b""
+    assert len(json.loads(_req(base, "/v1/traces/" + "cd" * 16 + "/spans")[1])) == 2
+
+
+def test_http_auth_gate(spark, tmp_root):
+    stores = PipelineStores(spark, tmp_root + "/stores-auth")
+    api = TraceApi(spark, stores, service_lookup_df(spark), token=TOKEN)
+    srv = serve(api)
+    base = "http://%s:%s" % srv.server_address
+    try:
+        assert _req(base, "/v1/traces")[0] == 401          # missing header
+        assert _req(base, "/v1/traces", headers={"Authorization": f"Bearer wrong"})[0] == 401
+        assert _req(base, "/v1/traces", headers={"Authorization": f"bearer {TOKEN}"})[0] == 401
+        status, out, _ = _req(base, "/v1/traces", headers={"Authorization": f"Bearer {TOKEN}"})
+        assert status == 200 and json.loads(out) == []
+        # ingest behind the gate too
+        body = json.dumps(golden_trace_envelope(), separators=(",", ":")).encode()
+        assert _req(base, "/v1/traces", "POST", body, {"Content-Type": "application/json"})[0] == 401
+        assert _req(
+            base, "/v1/traces", "POST", body,
+            {"Content-Type": "application/json", "Authorization": f"Bearer {TOKEN}"},
+        )[0] == 200
+    finally:
+        srv.shutdown()
