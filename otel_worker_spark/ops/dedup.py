@@ -155,6 +155,36 @@ FROM (SELECT doc_id, {_hashes_duck_sql()} AS hs FROM documents) t
 """
 
 
+def band_frame(
+    sigs: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_sig) — the LSH banding of a signature
+    frame, WITHOUT carrying the signature array (the r2 shuffle-weight
+    rework). Shared by the batch pair stage and the incremental
+    streaming dedup."""
+    rows_per_band = n_perms // n_bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            "concat_ws('-', "
+                            + ", ".join(
+                                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+                            )
+                            + ")"
+                        ).alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+
+
 #: every signature frame minhash_lsh_pairs persists, so long-running
 #: drivers can release cache deterministically between plans
 _PERSISTED_SIGS: list[DataFrame] = []
@@ -204,27 +234,7 @@ def minhash_lsh_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     _PERSISTED_SIGS.append(sigs)
-    rows_per_band = n_perms // n_bands
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            "concat_ws('-', "
-                            + ", ".join(
-                                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
-                            )
-                            + ")"
-                        ).alias("band_sig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    bands = band_frame(sigs, n_perms, n_bands)
 
     a = bands.alias("a")
     b = bands.alias("b")

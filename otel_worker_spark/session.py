@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # BTreeMap semantics for duplicate attribute keys (last insert wins)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # our serving layout buckets by trace_id while joins key on
+        # (trace_id, span-id) supersets — allow subset-key co-partition
+        # so the bucketed self-joins skip the exchange (the Spark knob
+        # for bucket-pruned storage layouts; semantics-neutral)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

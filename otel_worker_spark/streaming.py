@@ -398,6 +398,141 @@ def dedup_stream(
     )
 
 
+def lsh_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    out_dir: str,
+    jaccard_threshold: float = 0.5,
+    hash_impl: str = "md5",
+    n_perms: int | None = None,
+    n_bands: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming NEAR-duplicate detection: incremental MinHash-LSH
+    with exact-Jaccard verification — the streaming twin of
+    ``ops.dedup.verified_pairs`` (beyond ``dedup_stream``'s exact
+    digests). Each micro-batch:
+
+    1. signatures + band buckets for the NEW docs only (narrow maps);
+    2. candidates = new-bands equi-joined against (accumulated ∪ new)
+       bands — every unordered pair surfaces exactly once, in the
+       epoch where its LATER member arrives, so the union of all
+       epochs' output EQUALS the batch ``verified_pairs`` over the
+       same corpus (pytest-proven);
+    3. exact n-gram Jaccard on the candidate set against the
+       accumulated shingle state; survivors ≥ threshold are emitted;
+    4. the new docs' bands + shingles append to the state tables.
+
+    All three writes (pairs out, band state, shingle state) are
+    epoch-keyed overwrites → replay-idempotent, same guarantee as
+    ``dedup_stream``. State is the band table (ints per doc·band) and
+    the shingle sets — both O(corpus), partitioned by arrival epoch;
+    at 10^12-doc scale the band state would live in a bucketed table
+    keyed by (band, band_sig) so the per-batch candidate join prunes
+    to touched buckets instead of scanning all state.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .ops import dedup as dd
+
+    n_perms = n_perms or dd.N_PERMS
+    n_bands = n_bands or dd.N_BANDS
+    bands_dir = os.path.join(state_dir, "bands")
+    sh_dir = os.path.join(state_dir, "shingles")
+
+    DOCS_SCHEMA = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("event_ts", T.TimestampType()),
+        ]
+    )
+
+    def _state(path: str, schema: str):
+        try:
+            return spark.read.parquet(path).drop("epoch")
+        except Exception:  # first epoch: no state yet
+            return spark.createDataFrame([], schema)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
+        sigs = dd.minhash_signatures(batch_df, hash_impl, n_perms)
+        bands_new = dd.band_frame(sigs, n_perms, n_bands).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sh_new = batch_df.select(
+            "doc_id", dd.shingles_expr("text", dd.SHINGLE_K).alias("sh")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # dropDuplicates on the unioned state: a replayed epoch may
+            # find its OWN rows already in state (crash after the state
+            # write, before the checkpoint commit) — dedup makes the
+            # replay read-idempotent too
+            bands_all = (
+                _state(bands_dir, "doc_id long, band int, band_sig string")
+                .unionByName(bands_new)
+                .dropDuplicates(["doc_id", "band", "band_sig"])
+            )
+            sh_all = (
+                _state(sh_dir, "doc_id long, sh array<string>")
+                .unionByName(sh_new)
+                .dropDuplicates(["doc_id"])
+            )
+            a, b = bands_new.alias("a"), bands_all.alias("b")
+            cand = (
+                a.join(b, ["band", "band_sig"])
+                .where(F.expr("a.doc_id <> b.doc_id"))
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            sh_a = sh_all.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+            sh_b = sh_all.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+            inter = "size(array_intersect(sh_a, sh_b))"
+            union = "size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))"
+            pairs = (
+                cand.join(sh_a, "doc_a")
+                .join(sh_b, "doc_b")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.expr(f"CAST(floor(1000.0 * {inter} / ({union})) AS INT)").alias(
+                        "jaccard_m"
+                    ),
+                )
+                .where(F.col("jaccard_m") >= int(jaccard_threshold * 1000))
+            )
+            epoch_idempotent_sink(out_dir)(pairs, epoch_id)
+            epoch_idempotent_sink(bands_dir)(bands_new, epoch_id)
+            epoch_idempotent_sink(sh_dir)(sh_new, epoch_id)
+        finally:
+            bands_new.unpersist()
+            sh_new.unpersist()
+
+    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return (
+        reader.load(source_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def epoch_idempotent_sink(out_dir: str):
     """foreachBatch landing function with exactly-once output: epoch N
     writes (overwrite) to ``out_dir/epoch=N``, so Spark's replay of an

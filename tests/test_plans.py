@@ -229,6 +229,51 @@ def test_token_chunk_packing_partitions_by_source(spark):
     assert "Exchange SinglePartition" not in s
 
 
+def test_bucketed_layout_removes_trace_shuffles(spark, tmp_root):
+    """The bucket(trace_id) claim, proven: after compacting the span
+    store to a bucketed table, the traces_list aggregate and the
+    (trace_id, parent_span_id) self-join plan with ZERO exchanges —
+    the scan itself provides HashPartitioning(trace_id). On vanilla
+    parquet files the same queries each re-shuffle the corpus."""
+    import os
+
+    from otel_worker_spark.pipeline import PipelineStores, ingest_batch
+    from otel_worker_spark.queries import parent_child_spans
+
+    stores = PipelineStores(spark, os.path.join(tmp_root, "stores"))
+    tok = token_sequences_from_events(spark, SF_DIR)
+    ingest_batch(spark, tok, service_lookup_df(spark), stores, batch_id=0)
+    spark.sql("DROP TABLE IF EXISTS spans_bucketed")
+    spans = stores.spans.compact_to_bucketed(
+        "spans_bucketed", os.path.join(tmp_root, "bucketed"), buckets=8
+    ).filter("signal != 'quarantine'")
+    try:
+        agg_plan = plan_of(traces_list(spans))
+        assert "Exchange" not in agg_plan
+        assert "Bucketed: true" in formatted(traces_list(spans))
+
+        # the self-join: force the big-table regime (at test scale the
+        # planner rightly broadcasts; at 100 TB both sides are huge and
+        # the question is whether the SMJ needs a shuffle)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            join_plan = plan_of(parent_child_spans(spans))
+            assert "Exchange" not in join_plan
+            assert "SortMergeJoin" in join_plan  # co-partitioned, sort-local
+
+            # control: the same queries on the plain-parquet store DO
+            # exchange — the bucketed layout is what removed it
+            flat = stores.spans.read(partition="traces")
+            assert "Exchange hashpartitioning" in plan_of(traces_list(flat))
+            assert "Exchange hashpartitioning" in plan_of(parent_child_spans(flat))
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spans_bucketed")
+
+
 def test_corpus_plan_shapes(spark):
     """Corpus ops (100 TB shapes): packing windows partition by source
     (never a single global window); ngram top-k is TakeOrdered, not a

@@ -44,6 +44,45 @@ def test_epoch_sink_is_replay_idempotent(spark, tmp_path):
     assert got.where("epoch = 7").count() == 100
 
 
+def test_stream_lsh_near_dup_equals_batch(spark, tmp_path):
+    """Incremental MinHash-LSH + exact verify over micro-batches must
+    reproduce the batch ``verified_pairs`` EXACTLY on the same corpus:
+    every unordered pair surfaces once, in the epoch where its later
+    member arrives."""
+    from otel_worker_spark.ops import dedup as dd
+    from otel_worker_spark.streaming import lsh_dedup_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs-in")
+    # three arrival waves → three micro-batches (near-dup pairs in the
+    # fixture span waves, so cross-batch candidates are exercised)
+    for lo, hi in ((0, 150), (150, 350), (350, 10**9)):
+        _with_ts(docs.where(f"doc_id >= {lo} AND doc_id < {hi}")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    q = lsh_dedup_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+        str(tmp_path / "pairs"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "pairs"))
+        .select("doc_a", "doc_b", "jaccard_m")
+        .toPandas()
+    )
+    want = dd.verified_pairs(docs).toPandas()
+    key = ["doc_a", "doc_b"]
+    assert len(got) == len(got.drop_duplicates(key))  # each pair once
+    a = got.sort_values(key).reset_index(drop=True).astype(str)
+    b = want.sort_values(key).reset_index(drop=True).astype(str)
+    assert len(a) == len(b) and a.equals(b)
+
+
 def test_stream_dedup_across_batches_and_restart(spark, doc_stream_dirs):
     src, ckpt, out = doc_stream_dirs
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
