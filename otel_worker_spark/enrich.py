@@ -25,6 +25,17 @@ def enrich_spans(spans: DataFrame, service_lookup: DataFrame) -> DataFrame:
     return spans.join(F.broadcast(dim), "service_name", "left")
 
 
+def _salt_col(df: DataFrame, salt_buckets: int) -> F.Column:
+    """Content-derived salt: hash of the whole row, never
+    ``monotonically_increasing_id`` — the id is layout-dependent (the
+    same row can land a different salt across retries/replans), which
+    is fine for pure write balancing but silently wrong the moment a
+    salted frame feeds a keyed aggregate or a retried stage is
+    reconciled against a committed one. A row-content hash is stable
+    under any re-execution."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+
+
 def salted_repartition(df: DataFrame, key: str, salt_buckets: int, n_partitions: int | None = None) -> DataFrame:
     """Salt a skewed partition key (the hot ``source`` — one service
     can dominate an OTEL stream) before a repartition, so no single
@@ -35,7 +46,7 @@ def salted_repartition(df: DataFrame, key: str, salt_buckets: int, n_partitions:
     skew handling; this helper is the explicit variant for writes
     where we just need balanced files.
     """
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    salted = df.withColumn("_salt", _salt_col(df, salt_buckets))
     if n_partitions:
         out = salted.repartition(n_partitions, F.col(key), F.col("_salt"))
     else:
@@ -52,7 +63,7 @@ def two_phase_count_sum(df: DataFrame, key: str, sum_col: str, salt_buckets: int
     matters mostly when phase-1 output must also be balanced —
     documented here as the pattern, used by routing receipts.)
     """
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    salted = df.withColumn("_salt", _salt_col(df, salt_buckets))
     phase1 = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_c"), F.sum(sum_col).alias("_s")
     )
