@@ -899,3 +899,102 @@ SELECT source, chunk_id,
        array_to_string(flatten(list(piece ORDER BY chunk_offset)), ' ') AS text
 FROM pieces GROUP BY source, chunk_id
 """
+
+
+# ------------------------------------------- boilerplate removal (C4-style)
+
+#: boilerplate window width (words) and document-frequency threshold
+BOILER_W = 4
+BOILER_MIN_DOCS = 3
+
+
+def boilerplate_removal(
+    documents: DataFrame, w: int = BOILER_W, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """C4/CCNet-style boilerplate removal: cut each document into
+    consecutive ``w``-word windows, mark a window BOILERPLATE when the
+    same window text occurs in ≥ ``min_docs`` distinct documents
+    (nav bars, cookie banners, license footers at web scale), and
+    rebuild each document from its surviving windows in order.
+
+    Emits per document: window counts, words kept, and the md5 digest
+    of the cleaned text (digest instead of the text itself keeps the
+    oracle compare exact without shipping megabyte strings).
+
+    Scale shape: explode windows → ONE digest groupBy (uniform md5
+    key) for document frequency → join back on digest → per-doc
+    ordered rebuild via sort_array(collect_list) under the doc_id
+    aggregation. Two shuffles total (digest, doc_id), both on uniform
+    keys; no broadcast needed because the frequent-set join stays on
+    the already-exploded rows. The rebuild concat is bounded by the
+    document's own length.
+
+    Reference analog: no equivalent (the reference stores spans, not
+    corpora); this is the training-data extension the north rule asks
+    for, same family as ``passage_dedup`` (`ops/corpus.py:481`).
+    """
+    wins = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size({_WORDS}) - 1) div {w}),"
+                f" i -> concat_ws(' ', slice({_WORDS}, i * {w} + 1, {w})))"
+            )
+        ).alias("idx", "win"),
+    ).withColumn("digest", F.md5("win"))
+    spread = wins.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    kept = wins.join(spread, "digest").select(
+        "doc_id",
+        "idx",
+        "win",
+        (F.col("n_docs_with") >= min_docs).cast("int").alias("is_boiler"),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("is_boiler").alias("n_boiler"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(filter(sort_array(collect_list(named_struct("
+                    "'idx', idx, 'is_boiler', is_boiler, 'win', win))),"
+                    " s -> s.is_boiler = 0), s -> s.win)"
+                ),
+            )
+        ).alias("clean_digest"),
+        F.sum(
+            F.when(F.col("is_boiler") == 0, F.size(F.split("win", " "))).otherwise(0)
+        ).alias("n_clean_words"),
+    )
+
+
+def boilerplate_removal_sql(
+    w: int = BOILER_W, min_docs: int = BOILER_MIN_DOCS
+) -> str:
+    return f"""
+WITH wins AS (
+  SELECT doc_id,
+         unnest(range(0, (len({_WORDS_DUCK}) - 1) // {w} + 1)) AS idx,
+         unnest([array_to_string({_WORDS_DUCK}[i * {w} + 1 : i * {w} + {w}], ' ')
+                 for i in range(0, (len({_WORDS_DUCK}) - 1) // {w} + 1)]) AS win
+  FROM documents
+), d AS (
+  SELECT *, md5(win) AS digest FROM wins
+), spread AS (
+  SELECT digest, count(DISTINCT doc_id) AS n_docs_with FROM d GROUP BY digest
+), kept AS (
+  SELECT d.doc_id, d.idx, d.win,
+         CASE WHEN spread.n_docs_with >= {min_docs} THEN 1 ELSE 0 END AS is_boiler
+  FROM d JOIN spread USING (digest)
+)
+SELECT doc_id,
+       count(*) AS n_windows,
+       CAST(sum(is_boiler) AS BIGINT) AS n_boiler,
+       md5(coalesce(array_to_string(list(win ORDER BY idx) FILTER (WHERE is_boiler = 0),
+                                    ' '), '')) AS clean_digest,
+       CAST(sum(CASE WHEN is_boiler = 0 THEN len(string_split(win, ' ')) ELSE 0 END) AS BIGINT)
+         AS n_clean_words
+FROM kept GROUP BY doc_id
+"""

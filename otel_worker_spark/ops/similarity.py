@@ -608,3 +608,173 @@ FROM b x JOIN b y USING (bucket)
 WHERE x.vec_id < y.vec_id
   AND CAST(floor(1000000.0 * {cos}) AS BIGINT) >= {int(threshold * 1_000_000)}
 """
+
+
+# ----------------------------------------- product quantization (PQ ADC)
+
+#: PQ geometry: M subspaces × SUB_DIM dims, KSUB codes per subspace.
+#: Codebooks are the first KSUB corpus subvectors (deterministic, like
+#: the IVF stub quantizer — `kmeans_centroids` shows the trained form;
+#: the PQ plumbing is identical either way).
+PQ_M = 4
+PQ_SUB_DIM = EMB_DIM // PQ_M
+PQ_KSUB = 8
+
+
+def _d2_spark(a: str, b: str) -> str:
+    """Sequential-fold squared L2 — same fold shape as ``_dot_spark``
+    so Spark and DuckDB are IEEE-bit-identical."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _d2_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" [(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" for i in range(1, len({a}) + 1)]),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def _collect_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB
+) -> list[list[list[float]]]:
+    """codebooks[j][code] = 16-dim subvector of corpus vector ``code``
+    — ≤ m·ksub tiny arrays, the bytes a broadcast would ship anyway."""
+    rows = (
+        embeddings.where(F.col("vec_id") < ksub)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
+    sub = PQ_SUB_DIM
+    return [
+        [by_id[code][j * sub : (j + 1) * sub] for code in range(ksub)]
+        for j in range(m)
+    ]
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """Product-quantization ANN: encode every corpus vector as ``m``
+    sub-codes (nearest codebook entry per subspace, squared-L2), then
+    answer queries by ASYMMETRIC DISTANCE — exact query subvector vs
+    the DECODED codebook entry — and take the per-query top-k.
+
+    This is the third ANN family next to hyperplane-LSH and IVF: the
+    one that shrinks a 100 TB float corpus to m bytes/vector so the
+    scan fits in memory. Scale shape: encoding is a literal argmin
+    fold per subspace — a narrow map, ZERO exchange (the codebooks
+    fold into the expression like the IVF argmax, plan-asserted); the
+    ADC scan is broadcast(queries) × encoded-corpus with the decoded
+    subvectors resolved from literal arrays, and the only shuffle is
+    the final per-query top-k window. Cross-engine exactness: floor-
+    scaled per-subspace distances (BIGINT), integer-summed across
+    subspaces — no float accumulation across the join.
+
+    Reference analog: none (the reference has no vector search);
+    north-rule training-data extension beside `cosine_topk`
+    (`ops/similarity.py:64`).
+    """
+    cbs = _collect_codebooks(embeddings, m, ksub)
+    sub = PQ_SUB_DIM
+
+    def sub_expr(col: str, j: int) -> str:
+        return f"slice({col}, {j * sub + 1}, {sub})"
+
+    # --- encode: per-subspace argmin over ksub literal candidates
+    enc_cols = []
+    for j in range(m):
+        cands = [
+            F.struct(
+                F.expr(
+                    f"CAST(floor(1000000.0 * "
+                    f"{_d2_spark(sub_expr('embedding', j), _arr_lit(cbs[j][c]))}"
+                    f") AS BIGINT)"
+                ).alias("d2_u"),
+                F.lit(c).cast("int").alias("code"),
+            )
+            for c in range(ksub)
+        ]
+        enc_cols.append(F.least(*cands)["code"].alias(f"code_{j}"))
+    encoded = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), *enc_cols
+    )
+
+    # --- ADC scan: query subvector vs decoded literal codebook entry
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    dist_terms = []
+    for j in range(m):
+        cb_lit = (
+            "array(" + ", ".join(_arr_lit(cbs[j][c]) for c in range(ksub)) + ")"
+        )
+        dist_terms.append(
+            f"CAST(floor(1000000.0 * "
+            f"{_d2_spark(sub_expr('q', j), f'element_at({cb_lit}, code_{j} + 1)')}"
+            f") AS BIGINT)"
+        )
+    adc = " + ".join(dist_terms)
+    scored = (
+        F.broadcast(queries)
+        .join(encoded, F.expr("query_id <> neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(adc).alias("adc_d2_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_u"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_d2_u")
+    )
+
+
+def pq_topk_sql(
+    n_queries: int = 8, k: int = 5, m: int = PQ_M, ksub: int = PQ_KSUB
+) -> str:
+    sub = PQ_SUB_DIM
+
+    def slc(col: str, j: str) -> str:
+        return f"{col}[{j} * {sub} + 1 : {j} * {sub} + {sub}]"
+
+    d2_enc = _d2_duck(slc("e.embedding", "cb.j"), "cb.sub")
+    d2_adc = _d2_duck(slc("q.embedding", "cb.j"), "cb.sub")
+    return f"""
+WITH cb AS (
+  SELECT j, vec_id AS code, {slc("embedding", "j")} AS sub
+  FROM embeddings, range(0, {m}) AS t(j)
+  WHERE vec_id < {ksub}
+), codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT e.vec_id, cb.j, cb.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.j
+             ORDER BY CAST(floor(1000000.0 * {d2_enc}) AS BIGINT) ASC, cb.code ASC
+           ) AS rn
+    FROM embeddings e, cb
+  ) t WHERE rn = 1
+), adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(CAST(floor(1000000.0 * {d2_adc}) AS BIGINT)) AS BIGINT) AS adc_d2_u
+  FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q
+  JOIN codes c ON q.vec_id <> c.vec_id
+  JOIN cb ON cb.j = c.j AND cb.code = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, adc_d2_u FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2_u ASC, neighbor_id ASC) AS rank
+  FROM adc
+) t WHERE rank <= {k}
+"""

@@ -312,3 +312,65 @@ SELECT doc_id,
        ) AS fingerprint
 FROM documents
 """
+
+
+# ----------------------------------------------- unigram LM rarity score
+
+def unigram_rarity(documents: DataFrame) -> DataFrame:
+    """Unigram language-model quality score: build the corpus unigram
+    table, then score each document by how RARE its words are —
+    ``rarity = mean over words of (10^6 div corpus_count(word))`` —
+    plus its hapax count (words occurring exactly once corpus-wide).
+    High rarity ≈ unusual/garbled text, near-zero ≈ boilerplate-ish;
+    the integer surrogate for mean negative log-likelihood keeps the
+    cross-engine compare bit-exact (no libm log drift).
+
+    Scale shape: explode words → ONE partial+final hash agg for the
+    unigram table (uniform word key, map-side combine) → shuffle join
+    words↔counts on the word key → per-doc agg. The unigram table of
+    a 100 TB corpus still fits the classic power-law budget (vocab ≪
+    corpus); if it were small enough it could broadcast, but the
+    word-key shuffle join is the shape that never falls over.
+
+    Reference analog: none (stores spans, not corpora) — north-rule
+    training-data extension, same family as ``text_stats``.
+    """
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(trim(text), '\\\\s+'), w -> w <> '')")
+        ).alias("word"),
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("wc"))
+    return (
+        words.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum((F.col("wc") == 1).cast("int")).alias("n_hapax"),
+            F.sum(F.expr("1000000 div wc")).alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_hapax",
+            F.expr("rarity_sum div n_words").alias("rarity_mean_u"),
+        )
+    )
+
+
+def unigram_rarity_sql() -> str:
+    words = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest({words}) AS word FROM documents
+), c AS (
+  SELECT word, count(*) AS wc FROM w GROUP BY word
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(CASE WHEN wc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(1000000 // wc) // count(*) AS BIGINT) AS rarity_mean_u
+FROM w JOIN c USING (word)
+GROUP BY doc_id
+"""

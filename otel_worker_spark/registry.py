@@ -726,6 +726,62 @@ FROM events GROUP BY 1, 2
 """
 
 
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p90/p99 of order totals by
+    priority) via explicit rank selection — percentile_disc semantics
+    spelled out so Spark and DuckDB agree bit-for-bit (their built-in
+    percentile functions interpolate differently). Index formula:
+    value at row_number ``(n-1)*p/100 + 1`` (floor), ordering by
+    (cents, o_orderkey) so ties are deterministic.
+
+    Scale shape: one exchange on the group key; the sort is
+    in-partition per group (bounded by the group's own rows), and the
+    three percentiles come out of the SAME sorted pass — no re-scan
+    per percentile. Reference analog: none (SQLite read path has no
+    percentile); standard OLAP inventory."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        _cents("o_totalprice").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    picks = [("p50", 50), ("p90", 90), ("p99", 99)]
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.expr(f"(n - 1) * {p} div 100 + 1"), F.col("cents"))
+        ).alias(name)
+        for name, p in picks
+    ]
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"), *aggs
+    )
+
+
+def rel_percentiles_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(round(100 * o_totalprice) AS BIGINT), o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       max(n) AS n_orders,
+       max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN cents END) AS p50,
+       max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN cents END) AS p90,
+       max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN cents END) AS p99
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
 # ----------------------------------------------------------- ops wrappers
 
 
@@ -770,6 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": rel_rollup,
         "rel_sessionize": lambda s, d: ts.sessionize(_t(s, d, "events")),
         "rel_asof_join": lambda s, d: ts.asof_join(_t(s, d, "events")),
+        "rel_range_join": lambda s, d: ts.range_join(_t(s, d, "events")),
+        "rel_funnel": lambda s, d: ts.funnel(_t(s, d, "events")),
+        "rel_percentiles": rel_percentiles,
         # training-data ops
         "dedup_exact": lambda s, d: dd.dedup_exact(_docs(s, d)),
         "dedup_minhash_sig": lambda s, d: dd.minhash_signatures_flat(_docs(s, d)),
@@ -785,12 +844,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: tx.fingerprint(_docs(s, d)),
         "text_repetition": lambda s, d: tx.repetition(_docs(s, d)),
         "text_decontaminate": lambda s, d: tx.decontaminate(_docs(s, d)),
+        "text_unigram_rarity": lambda s, d: tx.unigram_rarity(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
         "ann_lsh_bucket_stats": lambda s, d: sim.lsh_bucket_stats(_embs(s, d)),
         "ann_embedding_near_dup": lambda s, d: sim.embedding_near_dup(_embs(s, d)),
         "ann_ivf_assignments": lambda s, d: sim.ivf_assignments(_embs(s, d)),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
         "ann_ivf_kmeans_topk": lambda s, d: sim.ivf_kmeans_topk(_embs(s, d)),
+        "ann_pq_topk": lambda s, d: sim.pq_topk(_embs(s, d)),
         # corpus curation (packing / filtering / splits / stats)
         "corpus_pack_chunks": lambda s, d: cp.pack_chunks(_docs(s, d)),
         "corpus_curate_pack": lambda s, d: cp.curate_and_pack(_docs(s, d)),
@@ -803,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pii_redact": lambda s, d: cp.pii_redact(_docs(s, d)),
         "corpus_sample_per_source": lambda s, d: cp.sample_per_source(_docs(s, d)),
         "corpus_normalize_text": lambda s, d: cp.normalize_text(_docs(s, d)),
+        "corpus_boilerplate_removal": lambda s, d: cp.boilerplate_removal(_docs(s, d)),
         "corpus_source_mixture": lambda s, d: cp.source_mixture(_docs(s, d)),
         "corpus_materialize_chunks": lambda s, d: cp.materialize_chunks(_docs(s, d)),
         "corpus_materialize_token_chunks": lambda s, d: cp.materialize_token_chunks(
@@ -844,6 +906,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_rollup": rel_rollup_sql(),
         "rel_sessionize": ts.sessionize_sql(),
         "rel_asof_join": ts.asof_join_sql(),
+        "rel_range_join": ts.range_join_sql(),
+        "rel_funnel": ts.funnel_sql(),
+        "rel_percentiles": rel_percentiles_sql(),
         "dedup_exact": dd.dedup_exact_sql(),
         "dedup_minhash_sig": dd.minhash_signatures_flat_sql(),
         "dedup_minhash_lsh_pairs": dd.minhash_lsh_pairs_sql(),
@@ -858,12 +923,14 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": tx.fingerprint_sql(),
         "text_repetition": tx.repetition_sql(),
         "text_decontaminate": tx.decontaminate_sql(),
+        "text_unigram_rarity": tx.unigram_rarity_sql(),
         "ann_cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_bucket_stats": sim.lsh_bucket_stats_sql(),
         "ann_embedding_near_dup": sim.embedding_near_dup_sql(),
         "ann_ivf_assignments": sim.ivf_assignments_sql(),
         "ann_ivf_topk": sim.ivf_topk_sql(),
         "ann_ivf_kmeans_topk": sim.ivf_kmeans_topk_sql(),
+        "ann_pq_topk": sim.pq_topk_sql(),
         "corpus_pack_chunks": cp.pack_chunks_sql(),
         "corpus_curate_pack": cp.curate_and_pack_sql(),
         "corpus_quality_filter": cp.quality_filter_sql(),
@@ -875,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pii_redact": cp.pii_redact_sql(),
         "corpus_sample_per_source": cp.sample_per_source_sql(),
         "corpus_normalize_text": cp.normalize_text_sql(),
+        "corpus_boilerplate_removal": cp.boilerplate_removal_sql(),
         "corpus_source_mixture": cp.source_mixture_sql(),
         "corpus_materialize_chunks": cp.materialize_chunks_sql(),
         "corpus_materialize_token_chunks": cp.materialize_token_chunks_sql(),
