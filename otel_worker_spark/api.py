@@ -49,6 +49,7 @@ from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import functions as F
 
+from . import grpc_adapter
 from .auth import check_bearer
 from .fixtures import token_df_from_payloads
 from .pipeline import PipelineStores, ingest_batch
@@ -237,9 +238,14 @@ def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
             return check_bearer(self.headers.get("Authorization"), api.token)
 
         def _route(self, method: str):
+            url = urlparse(self.path)
+            if url.path == grpc_adapter.EXPORT_PATH:
+                # the reference's tonic server registers NO auth
+                # interceptor (grpc.rs:20-36; the bearer middleware is
+                # axum-only, api.rs:83-87) — gRPC bypasses the gate
+                return self._route_grpc(method, url)
             if not self._authed():
                 return self._send(401)
-            url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
             q = parse_qs(url.query)
             try:
@@ -286,6 +292,37 @@ def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
             except Exception:
                 # CommonError::InternalServerError
                 return self._send(500, b'{"error":"internalServerError"}')
+
+        def _route_grpc(self, method: str, url):
+            """S3 gRPC unary Export carried over HTTP/1.1 (no h2
+            runtime in-image): same framing/status bytes an HTTP/2
+            front would relay; trailers sent as headers."""
+            if method != "POST":
+                return self._send(405)
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            enc = self.headers.get("grpc-encoding", "identity")
+            try:
+                code, msg, out = grpc_adapter.unary_export(
+                    api.spark, api.stores, api.lookup, body, enc
+                )
+            except Exception:
+                # tonic::Status::internal("Failed to ingest export data")
+                code, msg, out = (
+                    grpc_adapter.GRPC_INTERNAL,
+                    "Failed to ingest export data",
+                    b"",
+                )
+            self.send_response(200)
+            self.send_header("Content-Type", "application/grpc")
+            self.send_header("Content-Length", str(len(out)))
+            self.send_header("grpc-status", str(code))
+            if msg:
+                self.send_header("grpc-message", msg)
+            self.end_headers()
+            if out:
+                self.wfile.write(out)
+            return None
 
         def do_GET(self):
             self._route("GET")

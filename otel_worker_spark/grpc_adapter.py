@@ -1,0 +1,139 @@
+"""S3: OTLP/gRPC adapter — the transport framing the reference's tonic
+server handles in `otel-worker-cli/src/grpc.rs:20-36`.
+
+The reference's gRPC surface is one unary method,
+``opentelemetry.proto.collector.trace.v1.TraceService/Export``: tonic
+strips the gRPC wire framing, decodes the SAME
+``ExportTraceServiceRequest`` protobuf that the HTTP path posts, and
+calls the one shared ``Service::ingest_export``. Everything
+engine-side is already implemented here (``proto.decode_export_request``
++ the ingest pipeline); this module adds the remaining
+transport-independent layer, from-scratch per the public gRPC spec
+(PROTOCOL-HTTP2.md):
+
+- **Length-Prefixed-Message framing**: 1-byte compressed flag +
+  4-byte big-endian length + message bytes, possibly several per
+  stream (``encode_frame`` / ``decode_frames``).
+- **Message compression**: ``grpc-encoding: gzip`` (flag byte = 1)
+  via stdlib gzip; ``identity`` otherwise. An unknown encoding or a
+  compressed frame without a declared encoding is UNIMPLEMENTED(12) /
+  INTERNAL(13) per spec.
+- **Unary Export call**: exactly one request frame → decode → ingest
+  (idempotent batch id from the payload digest, same exactly-once
+  contract as the HTTP path) → one framed
+  ``ExportTraceServiceResponse`` (no partial_success → zero bytes,
+  mirroring ``partial_success: None`` in service.rs:32-54) + a
+  grpc-status trailer.
+
+What is NOT here: the HTTP/2 transport itself. No gRPC/h2 runtime
+ships in this image, so ``api.serve`` carries the call over HTTP/1.1
+(POST to the real method path, ``application/grpc`` content type,
+trailers as headers) — the framing, status mapping, and message bytes
+are exactly what an HTTP/2 front would relay.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import json
+import struct
+
+# google.rpc.Code values used by the adapter
+GRPC_OK = 0
+GRPC_INVALID_ARGUMENT = 3
+GRPC_RESOURCE_EXHAUSTED = 8
+GRPC_UNIMPLEMENTED = 12
+GRPC_INTERNAL = 13
+GRPC_UNAUTHENTICATED = 16
+
+#: the one rpc the reference serves (grpc.rs:20-36)
+EXPORT_PATH = "/opentelemetry.proto.collector.trace.v1.TraceService/Export"
+
+#: request cap — parity with the HTTP route's DefaultBodyLimit
+MAX_MESSAGE = 10 * 1024 * 1024
+
+
+class GrpcError(Exception):
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+        self.grpc_message = message
+
+
+def encode_frame(message: bytes, compress: bool = False) -> bytes:
+    """One Length-Prefixed-Message: flag + u32 BE length + bytes."""
+    if compress:
+        message = gzip.compress(message, mtime=0)
+    return struct.pack(">BI", 1 if compress else 0, len(message)) + message
+
+
+def decode_frames(stream: bytes, encoding: str = "identity") -> list[bytes]:
+    """Split a gRPC message stream into messages, inflating
+    compressed frames per ``encoding``. Raises GrpcError on a
+    truncated frame, an undeclared/unsupported compression, or an
+    oversized message."""
+    out: list[bytes] = []
+    i, n = 0, len(stream)
+    while i < n:
+        if n - i < 5:
+            raise GrpcError(GRPC_INTERNAL, "truncated frame header")
+        flag, length = struct.unpack_from(">BI", stream, i)
+        i += 5
+        if length > MAX_MESSAGE:
+            raise GrpcError(GRPC_RESOURCE_EXHAUSTED, "message exceeds 10MiB")
+        if n - i < length:
+            raise GrpcError(GRPC_INTERNAL, "truncated message body")
+        msg = bytes(stream[i : i + length])
+        i += length
+        if flag == 0:
+            out.append(msg)
+        elif flag == 1:
+            if encoding == "identity":
+                raise GrpcError(
+                    GRPC_INTERNAL, "compressed frame without grpc-encoding"
+                )
+            if encoding != "gzip":
+                raise GrpcError(
+                    GRPC_UNIMPLEMENTED, f"unsupported grpc-encoding {encoding!r}"
+                )
+            try:
+                out.append(gzip.decompress(msg))
+            except OSError as e:
+                raise GrpcError(GRPC_INTERNAL, f"bad gzip payload: {e}") from e
+        else:
+            raise GrpcError(GRPC_INTERNAL, f"bad frame flag {flag}")
+    return out
+
+
+def unary_export(
+    spark, stores, service_lookup, body: bytes, encoding: str = "identity"
+) -> tuple[int, str, bytes]:
+    """The TraceService/Export unary handler: framed request bytes in,
+    ``(grpc_status, grpc_message, framed_response_bytes)`` out.
+
+    Decodes the frame(s), parses the protobuf export request with the
+    in-repo wire codec, ingests through the same idempotent batch path
+    as HTTP (batch id = sha256 of the raw message, so a retried RPC is
+    a no-op returning the original receipt), and frames the empty
+    ``ExportTraceServiceResponse``."""
+    from .fixtures import token_df_from_payloads
+    from .pipeline import ingest_batch
+    from .proto import decode_export_request
+
+    try:
+        frames = decode_frames(body, encoding)
+    except GrpcError as e:
+        return e.code, e.grpc_message, b""
+    if len(frames) != 1:
+        return GRPC_INTERNAL, "Export is unary: expected exactly one message", b""
+    try:
+        env = decode_export_request(frames[0])
+    except ValueError as e:
+        return GRPC_INVALID_ARGUMENT, f"bad ExportTraceServiceRequest: {e}", b""
+    payloads = [json.dumps(env, separators=(",", ":"))]
+    bid = "grpc-" + hashlib.sha256(frames[0]).hexdigest()[:16]
+    tok = token_df_from_payloads(spark, payloads)
+    ingest_batch(spark, tok, service_lookup, stores, bid)
+    # ExportTraceServiceResponse{partial_success: None} = empty message
+    return GRPC_OK, "", encode_frame(b"")

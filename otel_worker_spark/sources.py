@@ -85,12 +85,12 @@ def read_otlp_grpc_note() -> str:
     The reference's gRPC server is a 30-line adapter: tonic decodes the
     SAME ``ExportTraceServiceRequest`` protobuf message this module's
     S2 path decodes, then calls the one shared ``Service::ingest_export``.
-    The Spark analog is identical plumbing, not engine work: a gRPC
-    frontend (grpcio server or a collector sidecar) strips the 5-byte
-    gRPC message frame and lands the raw protobuf payload bytes into
-    the S2 binary table (``read_otlp_protobuf`` shape); everything
-    downstream is the already-implemented protobuf parse path. No
-    gRPC runtime ships in this image, so the adapter stays a
-    documented boundary — the wire DECODE it would delegate to is real
-    and tested (tests/test_proto.py)."""
+    Implemented in ``grpc_adapter.py``: the gRPC Length-Prefixed-Message
+    framing (flag + u32 BE + bytes, gzip codec), the unary
+    ``TraceService/Export`` handler over the shared idempotent ingest,
+    and grpc-status mapping — served through ``api.serve`` on the real
+    method path (over HTTP/1.1; no h2 runtime ships in this image, so
+    the HTTP/2 transport itself is the one remaining documented
+    boundary). Wire decode + framing are tested end-to-end
+    (tests/test_proto.py, tests/test_grpc_adapter.py)."""
     return "gRPC = framing adapter over the S2 protobuf decode path"
