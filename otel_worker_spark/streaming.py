@@ -547,3 +547,82 @@ def epoch_idempotent_sink(out_dir: str):
         )
 
     return land
+
+
+def range_join_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema,
+    window_s: int = 300,
+    watermark: str = "30 minutes",
+    query_name: str = "range_join_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Watermarked STREAM-STREAM interval join — the streaming twin of
+    ``ops.timeseries.range_join``: every ``error`` event opens a
+    ``[ts, ts + window_s)`` impact window and picks up the same user's
+    other events that fall inside it, as both sides keep arriving.
+
+    The reference applies each export immediately and has no join
+    windows; this is the live-correlation extension an OTEL pipeline
+    grows (alert enrichment: "what did this user do right after the
+    error?"). Shape notes for 10^12-seq scale:
+
+    - Both sides carry a watermark and the join condition bounds the
+      event-time gap (``p_ts ∈ [e_ts, e_ts + window_s)``), so Spark's
+      symmetric hash join can EVICT state once the watermark passes a
+      row's match window — constant state, not unbounded buffers.
+    - The equi-key (``user_id``) hash-partitions both sides the same
+      way; the range predicate filters within the matched key group —
+      the same bucketization argument as the batch op, with time
+      handled by state eviction instead of bucket explosion.
+    - Inner join in append mode emits a match as soon as both rows
+      have arrived (no watermark delay on emission — only eviction).
+
+    Emits matched (error_id, probe_id) pairs to an in-memory sink;
+    returns the StreamingQuery. Pair set equals the batch join
+    exactly (tests/test_streaming_range_join.py).
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        # availableNow honors this as the per-micro-batch cap — lets
+        # tests force the two join sides into different batches
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.load(source_dir)
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").cast("timestamp").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    probes = (
+        events.filter(F.col("event_type") != "error")
+        .select(
+            F.col("event_id").alias("probe_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_type"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = errors.join(
+        probes,
+        F.expr(
+            f"e_user = p_user AND p_ts >= e_ts"
+            f" AND p_ts < e_ts + INTERVAL {int(window_s)} SECONDS"
+        ),
+    ).select("error_id", "probe_id", "event_type", "e_ts", "p_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
