@@ -346,6 +346,105 @@ class TableStore:
             }
         )
 
+    # ---- table maintenance ----
+
+    def compact_small_files(
+        self, target_rows: int = 100_000, min_files: int = 2
+    ) -> dict:
+        """OPTIMIZE-style small-file compaction. Streaming ingest lands
+        one file set per micro-batch; at 10^12-seq scale a day of
+        epochs is millions of kilobyte files and every read pays their
+        open/footer cost. Rewrite, PER PARTITION VALUE, the live files
+        holding fewer than ``target_rows`` rows into ~target-sized
+        files, and publish one atomic commit (added + removed in the
+        same entry — readers see either the old set or the new set,
+        never both; the same snapshot contract as delete_where).
+
+        Row counts come from the commit log, so planning the
+        compaction costs zero Spark jobs; only the rewrite reads data.
+        Crash-safe: a failure before the commit leaves orphan files
+        invisible to readers (``vacuum`` reclaims them).
+        """
+        parts = self._file_partitions()
+        rows_of = {
+            rec["file"]: rec["rows"]
+            for e in self._entries()
+            for rec in e.get("lineage", [])
+        }
+        groups: dict[tuple[str | None, str | None], list[str]] = {}
+        for f in self.live_files():
+            if rows_of.get(f, target_rows) < target_rows:
+                groups.setdefault(parts.get(f, (None, None)), []).append(f)
+        removed: list[str] = []
+        added: list[str] = []
+        lineage: list[dict] = []
+        total_rows = 0
+        for (pcol, pval), fs in sorted(groups.items()):
+            if len(fs) < min_files:
+                continue
+            n_rows = sum(rows_of.get(f, 0) for f in fs)
+            n_out = max(1, -(-n_rows // target_rows))  # ceil
+            df = self.spark.read.parquet(*fs).coalesce(n_out)
+            new_files, lin = self._write_files(df, "cmp")
+            if pcol is not None:
+                for rec in lin:
+                    rec["partition"] = pval
+            removed.extend(fs)
+            added.extend(new_files)
+            lineage.extend(lin)
+            total_rows += n_rows
+        if not removed:
+            return {"files_in": 0, "files_out": 0, "rows": 0}
+        # partition attribution must survive the rewrite: record the
+        # SAME partition_by column the originals carried
+        pcol = next((parts[f][0] for f in removed if parts.get(f, (None,))[0]), None)
+        self._commit(
+            {
+                "op": "compact",
+                "batch_id": None,
+                "partition_by": pcol,
+                "added_files": added,
+                "removed_files": removed,
+                "row_count": total_rows,
+                "lineage": lineage,
+            }
+        )
+        return {"files_in": len(removed), "files_out": len(added), "rows": total_rows}
+
+    def vacuum(self) -> dict:
+        """Reclaim physical files no longer reachable by any reader:
+        files SUPERSEDED by a COW rewrite/compaction/truncate, and
+        ORPHANS from writes that crashed before their commit published.
+        Never touches a live file; the commit log itself is kept (it
+        is the table history). Returns counts + bytes reclaimed.
+        """
+        live = set(self.live_files())
+        live_dirs = {os.path.dirname(f) for f in live}
+        removed_files = 0
+        removed_bytes = 0
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            dir_is_live = any(d == dirpath or d.startswith(dirpath + os.sep)
+                              for d in live_dirs)
+            for name in filenames:
+                path = os.path.join(dirpath, name)
+                if path in live:
+                    continue
+                if name.endswith(".parquet"):
+                    # data not live = superseded (in the log) or
+                    # orphaned (write crashed before its commit)
+                    removed_bytes += os.path.getsize(path)
+                    os.unlink(path)
+                    removed_files += 1
+                elif not dir_is_live:
+                    # write-job metadata (_SUCCESS, .crc) of a dead
+                    # directory goes with it; live dirs keep theirs
+                    removed_bytes += os.path.getsize(path)
+                    os.unlink(path)
+                    removed_files += 1
+            if not os.listdir(dirpath) and dirpath != self.data_dir:
+                os.rmdir(dirpath)
+        return {"files": removed_files, "bytes": removed_bytes}
+
     # ---- metrics / lineage ----
 
     def lineage(self) -> list[dict]:

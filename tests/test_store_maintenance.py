@@ -1,0 +1,108 @@
+"""Table maintenance: OPTIMIZE-style small-file compaction and vacuum.
+
+Invariants: compaction is invisible to readers (exact row equality,
+partition pruning preserved, atomic single commit); vacuum reclaims
+only unreachable bytes (superseded + orphaned), never a live file."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_worker_spark.store import TableStore
+
+
+def _mk(spark, tmp_root, n_batches=6, rows_per=50):
+    st = TableStore(spark, os.path.join(tmp_root, "t"))
+    for b in range(n_batches):
+        df = spark.range(b * rows_per, (b + 1) * rows_per).select(
+            F.col("id"),
+            (F.col("id") % 2 == 0).cast("string").alias("even"),
+            F.when(F.col("id") % 3 == 0, "traces")
+            .otherwise("logs")
+            .alias("signal"),
+        )
+        st.append(df, batch_id=f"b{b}", partition_by="signal")
+    return st
+
+
+def _snapshot(st):
+    return sorted(tuple(r) for r in st.read().collect())
+
+
+def test_compact_preserves_reads_and_shrinks_files(spark, tmp_root):
+    st = _mk(spark, tmp_root)
+    before_rows = _snapshot(st)
+    files_before = len(st.live_files())
+    res = st.compact_small_files(target_rows=1000)
+    assert res["files_in"] > 0 and res["files_out"] < res["files_in"]
+    assert len(st.live_files()) < files_before
+    assert _snapshot(st) == before_rows
+    # per-partition pruning still works after the rewrite
+    tr = st.read(partition="traces")
+    assert tr.count() == sum(1 for r in before_rows if r[2] == "traces")
+    assert tr.filter("signal != 'traces'").count() == 0
+    # one atomic commit entry records the swap
+    last = st.lineage()[-1]
+    assert last["op"] == "compact"
+
+
+def test_compact_is_a_noop_when_files_are_big(spark, tmp_root):
+    st = _mk(spark, tmp_root)
+    st.compact_small_files(target_rows=1000)
+    # everything already at target → nothing to do, no new commit
+    n = len(st.lineage())
+    res = st.compact_small_files(target_rows=10)
+    assert res == {"files_in": 0, "files_out": 0, "rows": 0}
+    assert len(st.lineage()) == n
+
+
+def test_vacuum_reclaims_superseded_and_orphans_only(spark, tmp_root):
+    st = _mk(spark, tmp_root)
+    st.delete_where("id % 5 = 0")
+    before_rows = _snapshot(st)
+    # superseded originals are still on disk pre-vacuum
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(st.data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk - set(st.live_files())
+    # plant an orphan (a write that crashed before its commit)
+    orphan_dir = os.path.join(st.data_dir, "b-crashed-deadbeef")
+    os.makedirs(orphan_dir)
+    spark.range(5).write.mode("overwrite").parquet(orphan_dir + "/x")
+    res = st.vacuum()
+    assert res["files"] > 0 and res["bytes"] > 0
+    assert not os.path.exists(orphan_dir + "/x") or not any(
+        f.endswith(".parquet") for f in os.listdir(orphan_dir + "/x")
+    )
+    on_disk_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(st.data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk_after == set(st.live_files())
+    assert _snapshot(st) == before_rows
+    # second vacuum: nothing left to reclaim
+    assert st.vacuum()["files"] == 0
+
+
+def test_compact_then_vacuum_round_trip(spark, tmp_root):
+    st = _mk(spark, tmp_root, n_batches=8, rows_per=20)
+    before = _snapshot(st)
+    st.compact_small_files(target_rows=1000)
+    st.vacuum()
+    assert _snapshot(st) == before
+    # the compacted table reads from exactly its live set on disk
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(st.data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == set(st.live_files())
