@@ -155,6 +155,43 @@ def cmd_curate(args) -> None:
     }))
 
 
+def cmd_optimize(args) -> None:
+    """Table maintenance over a deployment's store set: OPTIMIZE-style
+    small-file compaction (per partition value, one atomic commit per
+    table) followed by vacuum of superseded/orphaned files. The
+    scheduled companion of a streaming ingest — run it daily so the
+    epoch-per-micro-batch file pattern never degrades read plans."""
+    spark = get_spark("optimize")
+    stores = _stores(spark, args.stores)
+    out = {}
+    for name in ("spans", "quarantine", "receipts", "manifest"):
+        st = getattr(stores, name)
+        compacted = st.compact_small_files(target_rows=args.target_rows)
+        vacuumed = st.vacuum() if not args.no_vacuum else {"files": 0, "bytes": 0}
+        out[name] = {"compacted": compacted, "vacuumed": vacuumed}
+    print(json.dumps(out))
+
+
+def cmd_serve(args) -> None:
+    """The reference's dev server (`otel-worker-cli dev`): the HTTP
+    front (REST route table + gRPC Export path) over a live store
+    set. Blocks until interrupted."""
+    from otel_worker_spark.api import TraceApi, serve
+
+    spark = get_spark("serve")
+    stores = _stores(spark, args.stores)
+    api = TraceApi(spark, stores, service_lookup_df(spark), token=args.token)
+    srv = serve(api, host=args.host, port=args.port)
+    host, port = srv.server_address
+    print(json.dumps({"listening": f"http://{host}:{port}"}), flush=True)
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="jobs.py")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -195,6 +232,19 @@ def main() -> None:
     pc.add_argument("--out", required=True)
     pc.add_argument("--capacity", type=int, default=64)
     pc.set_defaults(fn=cmd_curate)
+
+    po = sub.add_parser("optimize")
+    po.add_argument("--stores", required=True)
+    po.add_argument("--target-rows", type=int, default=100_000)
+    po.add_argument("--no-vacuum", action="store_true")
+    po.set_defaults(fn=cmd_optimize)
+
+    ps = sub.add_parser("serve")
+    ps.add_argument("--stores", required=True)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8080)
+    ps.add_argument("--token", default=None)
+    ps.set_defaults(fn=cmd_serve)
 
     args = p.parse_args()
     args.fn(args)
