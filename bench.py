@@ -225,7 +225,13 @@ def _measure(cores: int) -> dict:
             "n_seq": n_seq,
             "queries": timings,
             "query_runs": all_runs,
-            "registry": _registry_sweep(spark),
+            # BENCH_SKIP_SWEEP=1 skips the full-registry sweep for
+            # fast scaling-only iterations (detail-file content only;
+            # the headline JSON never carries it)
+            "registry": (
+                {} if os.environ.get("BENCH_SKIP_SWEEP") == "1"
+                else _registry_sweep(spark)
+            ),
             "throughput_seq_per_sec": round(thr, 1),
         }
     finally:

@@ -192,6 +192,51 @@ def cmd_serve(args) -> None:
         srv.shutdown()
 
 
+def cmd_client(args) -> None:
+    """Thin HTTP ApiClient — the reference's `client traces|spans
+    get/list/delete` commands (otel-worker-cli/src/commands/client/
+    traces.rs:27-108, spans.rs:25-107): hit a running server's REST
+    route, pretty-print the JSON response. No Spark session."""
+    import urllib.error
+    import urllib.request
+
+    routes = {
+        "traces-list": ("GET", "/v1/traces"),
+        "trace-get": ("GET", "/v1/traces/{trace_id}"),
+        "trace-delete": ("DELETE", "/v1/traces/{trace_id}"),
+        "spans-list": ("GET", "/v1/traces/{trace_id}/spans"),
+        "span-get": ("GET", "/v1/traces/{trace_id}/spans/{span_id}"),
+        "span-delete": ("DELETE", "/v1/traces/{trace_id}/spans/{span_id}"),
+    }
+    method, path = routes[args.action]
+    path = path.format(trace_id=args.trace_id or "", span_id=args.span_id or "")
+    url = args.base_url.rstrip("/") + path
+    qs = []
+    if args.limit is not None:
+        qs.append(f"limit={args.limit}")
+    if args.time is not None:
+        qs.append(f"time={args.time}")
+    if qs:
+        url += "?" + "&".join(qs)
+    req = urllib.request.Request(url, method=method)
+    if args.auth_token:
+        req.add_header("Authorization", f"Bearer {args.auth_token}")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            body = resp.read()
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        body = e.read()
+        status = e.code
+    if body:
+        try:
+            print(json.dumps(json.loads(body), indent=2))
+        except ValueError:
+            sys.stdout.buffer.write(body + b"\n")
+    if status >= 400:
+        sys.exit(1)
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="jobs.py")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -245,6 +290,22 @@ def main() -> None:
     ps.add_argument("--port", type=int, default=8080)
     ps.add_argument("--token", default=None)
     ps.set_defaults(fn=cmd_serve)
+
+    pcl = sub.add_parser("client")
+    pcl.add_argument(
+        "action",
+        choices=[
+            "traces-list", "trace-get", "trace-delete",
+            "spans-list", "span-get", "span-delete",
+        ],
+    )
+    pcl.add_argument("--base-url", default="http://127.0.0.1:6767")
+    pcl.add_argument("--auth-token", default=None)
+    pcl.add_argument("--trace-id", default=None)
+    pcl.add_argument("--span-id", default=None)
+    pcl.add_argument("--limit", type=int, default=None)
+    pcl.add_argument("--time", default=None)
+    pcl.set_defaults(fn=cmd_client)
 
     args = p.parse_args()
     args.fn(args)

@@ -88,6 +88,8 @@ class TraceApi:
         self.stores = stores
         self.lookup = service_lookup
         self.token = token
+        #: `/api/ws` subscriber hub; serve() installs one
+        self.ws_hub = None
 
     def _spans(self):
         try:
@@ -119,7 +121,30 @@ class TraceApi:
         bid = "http-" + hashlib.sha256(body).hexdigest()[:16]
         tok = token_df_from_payloads(self.spark, payloads)
         ingest_batch(self.spark, tok, self.lookup, self.stores, bid)
+        self.notify_span_added(bid)
         return 200, ok_body, ok_ct
+
+    def notify_span_added(self, batch_id: str) -> None:
+        """Post-commit SpanAdded broadcast (service.rs:47-49 → the ws
+        hub): the batch's (trace_id, span_id) pairs from the manifest
+        store, fanned to every `/api/ws` subscriber. No-op without a
+        hub or subscribers; never fails the ingest."""
+        if self.ws_hub is None or self.ws_hub.connection_count() == 0:
+            return
+        from .ws import span_added_message
+
+        try:
+            df = self.stores.manifest.read_batch(batch_id)
+            if df is None:
+                return
+            pairs = [
+                (r["trace_id"], r["span_id"])
+                for r in df.select("trace_id", "span_id").collect()
+            ]
+            if pairs:
+                self.ws_hub.broadcast(span_added_message(pairs))
+        except Exception:
+            pass
 
     # ---- reads ----
 
@@ -211,7 +236,11 @@ class TraceApi:
 def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
     """Start the HTTP front over a TraceApi; returns the live
     ``ThreadingHTTPServer`` (``.server_address`` has the bound port;
-    call ``.shutdown()`` to stop)."""
+    ``.ws_hub`` the notification hub; call ``.shutdown()`` to stop)."""
+    from . import ws
+
+    hub = ws.WsHub()
+    api.ws_hub = hub
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test output
@@ -244,6 +273,10 @@ def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
                 # interceptor (grpc.rs:20-36; the bearer middleware is
                 # axum-only, api.rs:83-87) — gRPC bypasses the gate
                 return self._route_grpc(method, url)
+            if url.path == "/api/ws":
+                # the worker adds this route BESIDE, not inside, the
+                # auth-layered API router (lib.rs:63-71) — no gate
+                return self._route_ws(method)
             if not self._authed():
                 return self._send(401)
             parts = [p for p in url.path.split("/") if p]
@@ -304,7 +337,12 @@ def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
             enc = self.headers.get("grpc-encoding", "identity")
             try:
                 code, msg, out = grpc_adapter.unary_export(
-                    api.spark, api.stores, api.lookup, body, enc
+                    api.spark,
+                    api.stores,
+                    api.lookup,
+                    body,
+                    enc,
+                    on_ingested=api.notify_span_added,
                 )
             except Exception:
                 # tonic::Status::internal("Failed to ingest export data")
@@ -324,6 +362,31 @@ def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
                 self.wfile.write(out)
             return None
 
+        def _route_ws(self, method: str):
+            """RFC 6455 upgrade → register with the hub → per-socket
+            read loop (`/api/ws`; UPGRADE_REQUIRED without the header,
+            handlers.rs:15-36)."""
+            if method != "GET":
+                return self._send(405)
+            if (self.headers.get("Upgrade") or "").lower() != "websocket":
+                # StatusCode::UPGRADE_REQUIRED (handlers.rs:33-36)
+                return self._send(426, b"Expected Upgrade: websocket", "text/plain")
+            key = self.headers.get("Sec-WebSocket-Key")
+            if not key:
+                return self._send(400)
+            ws_id = hub.register(self.connection)
+            self.send_response(101)
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", ws.accept_key(key))
+            # otel-worker-core/src/api.rs:17-19
+            self.send_header(ws.WS_ID_HEADER, ws_id)
+            self.end_headers()
+            self.wfile.flush()
+            self.close_connection = True
+            hub.serve_connection(self.connection, ws_id)
+            return None
+
         def do_GET(self):
             self._route("GET")
 
@@ -334,6 +397,7 @@ def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
             self._route("DELETE")
 
     server = ThreadingHTTPServer((host, port), Handler)
+    server.ws_hub = hub
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

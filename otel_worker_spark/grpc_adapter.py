@@ -107,7 +107,12 @@ def decode_frames(stream: bytes, encoding: str = "identity") -> list[bytes]:
 
 
 def unary_export(
-    spark, stores, service_lookup, body: bytes, encoding: str = "identity"
+    spark,
+    stores,
+    service_lookup,
+    body: bytes,
+    encoding: str = "identity",
+    on_ingested=None,
 ) -> tuple[int, str, bytes]:
     """The TraceService/Export unary handler: framed request bytes in,
     ``(grpc_status, grpc_message, framed_response_bytes)`` out.
@@ -135,5 +140,8 @@ def unary_export(
     bid = "grpc-" + hashlib.sha256(frames[0]).hexdigest()[:16]
     tok = token_df_from_payloads(spark, payloads)
     ingest_batch(spark, tok, service_lookup, stores, bid)
+    if on_ingested is not None:
+        # post-commit hook (the SpanAdded broadcast, service.rs:47-49)
+        on_ingested(bid)
     # ExportTraceServiceResponse{partial_success: None} = empty message
     return GRPC_OK, "", encode_frame(b"")

@@ -158,3 +158,44 @@ def test_http_auth_gate(spark, tmp_root):
         )[0] == 200
     finally:
         srv.shutdown()
+
+
+def test_client_cli_round_trip(server):
+    """The jobs.py `client` wrappers (reference: otel-worker-cli
+    client traces/spans commands) against a live server: list, get,
+    delete, and the 404→exit-1 path. The client process is pure
+    urllib — no Spark session."""
+    import os
+    import subprocess
+    import sys
+
+    base, _api = server
+    _ingest_golden(base)
+    jobs = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs.py")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, jobs, "client", *args, "--base-url", base],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+
+    out = run("traces-list", "--limit", "5")
+    assert out.returncode == 0
+    traces = json.loads(out.stdout)
+    assert [t["traceId"] for t in traces] == [GOLDEN_TRACE_ID]
+
+    out = run("span-get", "--trace-id", GOLDEN_TRACE_ID,
+              "--span-id", GOLDEN_CHILD_SPAN_ID)
+    assert out.returncode == 0
+    assert json.loads(out.stdout)["spanId"] == GOLDEN_CHILD_SPAN_ID
+
+    out = run("trace-get", "--trace-id", "00" * 16)
+    assert out.returncode == 1
+    assert json.loads(out.stdout) == {"error": "notFound"}
+
+    out = run("trace-delete", "--trace-id", GOLDEN_TRACE_ID)
+    assert out.returncode == 0
+    out = run("traces-list")
+    assert out.returncode == 0 and json.loads(out.stdout) == []
