@@ -602,3 +602,40 @@ FROM sh a JOIN sh b USING (source)
 WHERE a.doc_id < b.doc_id
   AND CAST(floor(1000.0 * {inter} / ({union})) AS INT) >= {int(threshold * 1000)}
 """
+
+
+def dedup_survivors(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.5,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """The END of the near-dup pipeline: the deduplicated corpus
+    itself. Keeps each component's survivor (min doc_id) and reports
+    how many near-duplicates it absorbed — the row set a training run
+    would actually read. Composes `dedup_groups` (LSH → verify → CC)
+    with one more aggregate on the already-small assignment table;
+    the corpus joins back on doc_id, one equi-join, no new pair work.
+    """
+    groups = dedup_groups(documents, jaccard_threshold, hash_impl)
+    sizes = groups.groupBy("survivor_doc_id").agg(
+        (F.count("*") - 1).alias("n_absorbed")
+    )
+    return (
+        documents.join(
+            sizes, documents["doc_id"] == sizes["survivor_doc_id"]
+        )
+        .select("doc_id", "source", "lang", "n_chars", "n_absorbed")
+    )
+
+
+def dedup_survivors_sql(jaccard_threshold: float = 0.5) -> str:
+    return f"""
+WITH groups AS ({dedup_groups_sql(jaccard_threshold)}),
+sizes AS (
+  SELECT survivor_doc_id, count(*) - 1 AS n_absorbed
+  FROM groups GROUP BY survivor_doc_id
+)
+SELECT d.doc_id, d.source, d.lang, d.n_chars,
+       CAST(s.n_absorbed AS BIGINT) AS n_absorbed
+FROM documents d JOIN sizes s ON d.doc_id = s.survivor_doc_id
+"""

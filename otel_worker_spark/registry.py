@@ -838,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_verified_pairs": lambda s, d: dd.verified_pairs(_docs(s, d)),
         "dedup_groups": lambda s, d: dd.dedup_groups(_docs(s, d)),
+        "dedup_survivors": lambda s, d: dd.dedup_survivors(_docs(s, d)),
         "text_stats": lambda s, d: tx.text_stats(_docs(s, d)),
         "text_token_counts": lambda s, d: tx.token_counts(_docs(s, d)),
         "text_lang_id": lambda s, d: tx.lang_id(_docs(s, d)),
@@ -917,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql(),
         "dedup_verified_pairs": dd.verified_pairs_sql(),
         "dedup_groups": dd.dedup_groups_sql(),
+        "dedup_survivors": dd.dedup_survivors_sql(),
         "text_stats": tx.text_stats_sql(),
         "text_token_counts": tx.token_counts_sql(),
         "text_lang_id": tx.lang_id_sql(),
