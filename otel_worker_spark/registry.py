@@ -104,12 +104,30 @@ def clear_parse_cache() -> None:
     dd.release_persisted_signatures()
 
 
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rendered token table, persisted once per sf_dir when the
+    sweep/gate cache is on: five registry queries derive from it, and
+    the per-row payload rendering (not their own logic) dominated
+    their sweep times (token_hist 6.8 s → its explode+agg is <1 s on
+    the cached table)."""
+    key = ("tokens", sf_dir)
+    if _PARSE_CACHE_ON and key in _PARSE_CACHE:
+        return _PARSE_CACHE[key]
+    tok = token_sequences_from_events(spark, sf_dir)
+    if _PARSE_CACHE_ON:
+        from pyspark.storagelevel import StorageLevel
+
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+        _PARSE_CACHE[key] = tok
+    return tok
+
+
 def _spans(spark: SparkSession, sf_dir: str, with_inner: bool = False) -> DataFrame:
     """events → token table → the full parse/enrich/route pipeline."""
     key = (sf_dir, with_inner)
     if _PARSE_CACHE_ON and key in _PARSE_CACHE:
         return _PARSE_CACHE[key]
-    tok = token_sequences_from_events(spark, sf_dir)
+    tok = _tokens(spark, sf_dir)
     out = transform_batch(
         tok,
         service_lookup_df(spark),
@@ -168,7 +186,7 @@ def pipeline_token_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab), computed on the routed frame — the oracle recomputes it
     from the original payload recipe, so a hash match proves the bytes
     survived parse → enrich → route untouched."""
-    tok = token_sequences_from_events(spark, sf_dir)
+    tok = _tokens(spark, sf_dir)
     routed = transform_batch(
         tok,
         service_lookup_df(spark),
@@ -213,7 +231,7 @@ def pipeline_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract itself): explode → partial+final hash agg. Uniform small
     key space (the byte vocab) — the shuffle is 256 rows per map
     partition regardless of input size."""
-    tok = token_sequences_from_events(spark, sf_dir)
+    tok = _tokens(spark, sf_dir)
     return (
         tok.select(F.explode("tokens").alias("token"))
         .groupBy("token")
@@ -869,7 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_mixture": lambda s, d: cp.source_mixture(_docs(s, d)),
         "corpus_materialize_chunks": lambda s, d: cp.materialize_chunks(_docs(s, d)),
         "corpus_materialize_token_chunks": lambda s, d: cp.materialize_token_chunks(
-            token_sequences_from_events(s, d)
+            _tokens(s, d)
         ),
         # multimodal plumbing (mapInPandas): per-doc exact-integer
         # features, fully oracle-checked; the float summary aggregate
