@@ -44,6 +44,8 @@ OP_TEXT = 0x1
 OP_CLOSE = 0x8
 OP_PING = 0x9
 OP_PONG = 0xA
+#: sentinel opcode for "no frame yet" (idle-timeout tick, not wire data)
+OP_NONE = -1
 
 
 def accept_key(client_key: str) -> str:
@@ -84,7 +86,12 @@ def read_frame(sock) -> tuple[int, bytes] | None:
             buf += chunk
         return buf
 
-    head = recv_exact(2)
+    try:
+        head = recv_exact(2)
+    except TimeoutError:
+        # idle socket with a send-protection timeout set: not an
+        # error, just nothing to read yet (frame-boundary safe)
+        return (OP_NONE, b"")
     if head is None:
         return None
     opcode = head[0] & 0x0F
@@ -128,6 +135,14 @@ class WsHub:
 
     def register(self, sock) -> str:
         ws_id = uuid.uuid4().hex
+        # a slow/dead subscriber must never wedge the ingest path: a
+        # blocked sendall times out, the send fails, the socket is
+        # retired (the reference's tokio channel drops laggards the
+        # same way — bounded capacity 100, events.rs:14)
+        try:
+            sock.settimeout(10.0)
+        except OSError:
+            pass
         with self._lock:
             self._conns[ws_id] = (sock, threading.Lock())
         return ws_id
@@ -166,6 +181,10 @@ class WsHub:
                 if frame is None:
                     break
                 opcode, payload = frame
+                if opcode == OP_NONE:
+                    if ws_id not in self._conns:
+                        break  # retired by a failed broadcast
+                    continue
                 _, wlock = self._conns.get(ws_id, (None, threading.Lock()))
                 if opcode == OP_PING:
                     with wlock:

@@ -135,3 +135,41 @@ def test_ws_route_requires_upgrade_header(spark, tmp_root):
         assert status == 426
     finally:
         srv.shutdown()
+
+
+def test_read_frame_timeout_is_not_fatal():
+    class TimeoutSock:
+        def recv(self, n):
+            raise TimeoutError()
+
+    assert ws.read_frame(TimeoutSock()) == (ws.OP_NONE, b"")
+
+
+def test_idle_subscriber_outlives_send_timeout_and_still_receives(spark, tmp_root):
+    """The send-protection socket timeout (10 s) must not evict an
+    IDLE subscriber: after sitting past the timeout, the connection
+    still receives the next broadcast."""
+    import time
+    import urllib.request
+
+    stores = PipelineStores(spark, tmp_root + "/stores")
+    api = TraceApi(spark, stores, service_lookup_df(spark))
+    srv = serve(api)
+    try:
+        host, port = srv.server_address
+        sock, _headers, _key = _ws_connect(host, port)
+        time.sleep(11)
+        assert srv.ws_hub.connection_count() == 1
+        body = json.dumps(golden_trace_envelope(), separators=(",", ":")).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/traces", data=body, method="POST"
+        )
+        req.add_header("Content-Type", "application/json")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        opcode, payload = ws.read_frame(sock)
+        assert opcode == ws.OP_TEXT
+        assert json.loads(payload)["type"] == "spanAdded"
+        sock.close()
+    finally:
+        srv.shutdown()
