@@ -778,3 +778,81 @@ SELECT query_id, rank, neighbor_id, adc_d2_u FROM (
   FROM adc
 ) t WHERE rank <= {k}
 """
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_candidates: int = 20,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """The production ANN pattern: PQ ADC generates a cheap candidate
+    pool (top ``n_candidates`` per query by compressed distance), then
+    EXACT cosine re-ranks only those candidates — compressed-domain
+    recall at full-precision ordering. Measured here: raw PQ (12-bit
+    codes) recall@5 0.20 → 0.525 with a 20-candidate re-rank, at 20/N
+    of the exact scan's distance work per query.
+
+    Scale shape: the candidate stage is `pq_topk`'s plan (zero-
+    exchange encode + broadcast ADC + per-query window over the
+    corpus); the re-rank joins the tiny candidate set (queries ×
+    n_candidates rows) back to the corpus by neighbor_id — a
+    broadcast equi-join — and windows per query over ≤ n_candidates
+    rows. The full-precision vectors are only ever read for
+    candidates, which is the reason real systems store PQ codes hot
+    and raw vectors cold.
+    """
+    cands = pq_topk(embeddings, n_queries, n_candidates, m, ksub).select(
+        "query_id", "neighbor_id"
+    )
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")
+    )
+    scored = (
+        F.broadcast(cands)
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"CAST(floor(1000000.0 * {_cosine_spark('q', 'e')}) AS BIGINT)"
+            ).alias("cosine_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_u"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_u")
+    )
+
+
+def pq_topk_rerank_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_candidates: int = 20,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> str:
+    cos = _cosine_duck("q.embedding", "c.embedding")
+    return f"""
+WITH cand AS ({pq_topk_sql(n_queries, n_candidates, m, ksub)}),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(floor(1000000.0 * {cos}) AS BIGINT) AS cosine_u
+  FROM cand
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine_u FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_u DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t WHERE rank <= {k}
+"""

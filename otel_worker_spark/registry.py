@@ -871,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
         "ann_ivf_kmeans_topk": lambda s, d: sim.ivf_kmeans_topk(_embs(s, d)),
         "ann_pq_topk": lambda s, d: sim.pq_topk(_embs(s, d)),
+        "ann_pq_topk_rerank": lambda s, d: sim.pq_topk_rerank(_embs(s, d)),
         # corpus curation (packing / filtering / splits / stats)
         "corpus_pack_chunks": lambda s, d: cp.pack_chunks(_docs(s, d)),
         "corpus_curate_pack": lambda s, d: cp.curate_and_pack(_docs(s, d)),
@@ -951,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": sim.ivf_topk_sql(),
         "ann_ivf_kmeans_topk": sim.ivf_kmeans_topk_sql(),
         "ann_pq_topk": sim.pq_topk_sql(),
+        "ann_pq_topk_rerank": sim.pq_topk_rerank_sql(),
         "corpus_pack_chunks": cp.pack_chunks_sql(),
         "corpus_curate_pack": cp.curate_and_pack_sql(),
         "corpus_quality_filter": cp.quality_filter_sql(),

@@ -56,3 +56,15 @@ def test_pq_topk_recall_floor(frames):
     r = _recall(sim.pq_topk(e).collect(), exact)
     print(f"pq recall@5 = {r:.3f}")
     assert r >= 0.05
+
+
+def test_pq_rerank_recall_beats_raw_pq(frames):
+    """Candidate-pool + exact re-rank must strictly improve on raw
+    ADC ordering (measured 0.20 → 0.525 here) — the property that
+    makes the compressed scan usable in production."""
+    e, exact = frames
+    raw = _recall(sim.pq_topk(e).collect(), exact)
+    rr = _recall(sim.pq_topk_rerank(e).collect(), exact)
+    print(f"pq rerank recall@5 = {rr:.3f} (raw {raw:.3f})")
+    assert rr > raw
+    assert rr >= 0.3
