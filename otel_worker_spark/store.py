@@ -198,19 +198,22 @@ class TableStore:
             if pcol:
                 df = df.withColumn(pcol, F.lit(partition).cast("string"))
             return df
-        # group by partition value, re-attach the partition column
+        # group by partition value, re-attach the partition column.
+        # mergeSchema + allowMissingColumns = additive schema evolution:
+        # a later batch's new column reads as NULL on older files
+        # instead of being silently dropped by single-footer inference
         by_val: dict[tuple[str | None, str | None], list[str]] = {}
         for f in files:
             by_val.setdefault(parts.get(f, (None, None)), []).append(f)
         frames = []
         for (pcol, pval), fs in by_val.items():
-            df = self.spark.read.parquet(*fs)
+            df = self.spark.read.option("mergeSchema", "true").parquet(*fs)
             if pcol is not None:
                 df = df.withColumn(pcol, F.lit(pval))
             frames.append(df)
         out = frames[0]
         for df in frames[1:]:
-            out = out.unionByName(df)
+            out = out.unionByName(df, allowMissingColumns=True)
         return out
 
     def read_batch(self, batch_id: str | int) -> DataFrame | None:
@@ -226,7 +229,7 @@ class TableStore:
             by_val.setdefault(rec.get("partition"), []).append(rec["file"])
         frames = []
         for pval, fs in by_val.items():
-            df = self.spark.read.parquet(*fs)
+            df = self.spark.read.option("mergeSchema", "true").parquet(*fs)
             if pcol is not None:
                 df = df.withColumn(pcol, F.lit(pval))
             frames.append(df)
@@ -234,7 +237,7 @@ class TableStore:
             return None
         out = frames[0]
         for df in frames[1:]:
-            out = out.unionByName(df)
+            out = out.unionByName(df, allowMissingColumns=True)
         return out
 
     def delete_where(self, predicate: str) -> int:
@@ -384,7 +387,11 @@ class TableStore:
                 continue
             n_rows = sum(rows_of.get(f, 0) for f in fs)
             n_out = max(1, -(-n_rows // target_rows))  # ceil
-            df = self.spark.read.parquet(*fs).coalesce(n_out)
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*fs)
+                .coalesce(n_out)
+            )
             new_files, lin = self._write_files(df, "cmp")
             if pcol is not None:
                 for rec in lin:

@@ -106,3 +106,32 @@ def test_compact_then_vacuum_round_trip(spark, tmp_root):
         if f.endswith(".parquet")
     }
     assert on_disk == set(st.live_files())
+
+
+def test_additive_schema_evolution(spark, tmp_root):
+    """A later batch may carry NEW columns: older rows read them as
+    NULL (mergeSchema), nothing is silently dropped, and delete/
+    compact rewrites preserve the merged width."""
+    st = TableStore(spark, os.path.join(tmp_root, "evo"))
+    st.append(spark.range(5).select("id"), batch_id="b0")
+    st.append(
+        spark.range(5, 10).select("id", F.lit("x").alias("extra")),
+        batch_id="b1",
+    )
+    got = st.read()
+    assert set(got.columns) == {"id", "extra"}
+    assert got.filter("extra IS NULL").count() == 5
+    assert got.filter("extra = 'x'").count() == 5
+    # the evolved column survives a COW delete rewrite
+    st.delete_where("id = 7")
+    got = st.read()
+    assert set(got.columns) == {"id", "extra"}
+    assert got.count() == 9 and got.filter("extra = 'x'").count() == 4
+    # ...and a compaction
+    st.compact_small_files(target_rows=1000)
+    got = st.read()
+    assert set(got.columns) == {"id", "extra"}
+    assert got.count() == 9
+    # batch-level reads see the batch's own width (merged per batch)
+    b0 = st.read_batch("b0")
+    assert b0 is not None and b0.count() == 5
