@@ -90,9 +90,17 @@ class TableStore:
     def committed_batches(self) -> dict[str, dict]:
         return {e["batch_id"]: e for e in self._entries() if e.get("batch_id") is not None}
 
-    def live_files(self) -> list[str]:
+    def live_files(self, as_of: int | None = None) -> list[str]:
+        """File set of the snapshot at commit ``as_of`` (inclusive;
+        None = latest). Every commit is a full snapshot boundary —
+        replaying the log to seq N reconstructs the table exactly as
+        readers saw it then (Iceberg's snapshot-id time travel on the
+        stand-in commit log; superseded files must not be vacuumed if
+        the history should stay readable)."""
         live: list[str] = []
         for e in self._entries():
+            if as_of is not None and e["seq"] > as_of:
+                break
             removed = set(e.get("removed_files", []))
             if removed:
                 live = [f for f in live if f not in removed]
@@ -181,11 +189,14 @@ class TableStore:
                 out[rec["file"]] = (pcol, rec.get("partition"))
         return out
 
-    def read(self, partition: str | None = None) -> DataFrame:
+    def read(
+        self, partition: str | None = None, as_of: int | None = None
+    ) -> DataFrame:
         """Snapshot read; ``partition`` prunes to one partition value
         (a per-signal sink view) at the file-list level — no data read
-        from other sinks at all."""
-        files = self.live_files()
+        from other sinks at all. ``as_of`` reads the snapshot as of
+        commit seq N (time travel over the commit log)."""
+        files = self.live_files(as_of)
         parts = self._file_partitions()
         if partition is not None:
             files = [f for f in files if parts.get(f, (None, None))[1] == partition]

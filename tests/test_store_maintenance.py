@@ -135,3 +135,26 @@ def test_additive_schema_evolution(spark, tmp_root):
     # batch-level reads see the batch's own width (merged per batch)
     b0 = st.read_batch("b0")
     assert b0 is not None and b0.count() == 5
+
+
+def test_time_travel_reads_past_snapshots(spark, tmp_root):
+    """read(as_of=seq) reconstructs the table exactly as it stood at
+    that commit: before a delete, before a truncate, across appends —
+    and a compaction commit leaves every snapshot's content intact."""
+    st = TableStore(spark, os.path.join(tmp_root, "tt"))
+    st.append(spark.range(10).select("id"), batch_id="b0")      # seq 0
+    st.append(spark.range(10, 20).select("id"), batch_id="b1")  # seq 1
+    st.delete_where("id < 5")                                   # seq 2
+    assert st.read(as_of=0).count() == 10
+    assert st.read(as_of=1).count() == 20
+    assert st.read(as_of=2).count() == 15
+    assert st.read().count() == 15
+    st.compact_small_files(target_rows=1000)                    # seq 3
+    assert st.read(as_of=1).count() == 20  # pre-compaction history intact
+    assert st.read().count() == 15
+    st.truncate()                                               # seq 4+
+    assert st.read().count() == 0
+    assert st.read(as_of=1).count() == 20
+    # vacuum reclaims history files — time travel is then gone by design
+    st.vacuum()
+    assert st.read().count() == 0
