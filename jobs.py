@@ -237,6 +237,61 @@ def cmd_client(args) -> None:
         sys.exit(1)
 
 
+def cmd_debug_ws(args) -> None:
+    """The reference's `debug ws` command (otel-worker-cli/src/
+    commands/debug/ws.rs:16-58): connect to a server's `/api/ws`,
+    print the connection id from the response header, then print every
+    received server message until EOF or --max-messages. No Spark."""
+    import base64
+    import os as _os
+    import socket
+    from urllib.parse import urlparse
+
+    from otel_worker_spark import ws as wsmod
+
+    u = urlparse(args.endpoint.replace("ws://", "http://"))
+    sock = socket.create_connection((u.hostname, u.port or 80), timeout=60)
+    key = base64.b64encode(_os.urandom(16)).decode()
+    sock.sendall(
+        (
+            f"GET {u.path or '/api/ws'} HTTP/1.1\r\nHost: {u.hostname}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += sock.recv(4096)
+    headers = buf.decode()
+    ws_id = ""
+    for line in headers.splitlines():
+        if line.lower().startswith(wsmod.WS_ID_HEADER + ":"):
+            ws_id = line.split(":", 1)[1].strip()
+    print(json.dumps({"connected": True, "wsId": ws_id}), flush=True)
+    seen = 0
+    while args.max_messages is None or seen < args.max_messages:
+        frame = wsmod.read_frame(sock)
+        if frame is None:
+            break
+        opcode, payload = frame
+        if opcode == wsmod.OP_TEXT:
+            print(payload.decode(), flush=True)
+            seen += 1
+        elif opcode == wsmod.OP_CLOSE:
+            break
+    sock.close()
+
+
+def cmd_truncate(args) -> None:
+    """S9: delete database (otel-worker-cli/src/commands/system/
+    database.rs:29-42) — truncate every table of a deployment."""
+    spark = get_spark("truncate")
+    stores = _stores(spark, args.stores)
+    for name in ("spans", "quarantine", "receipts", "manifest"):
+        getattr(stores, name).truncate()
+    print(json.dumps({"truncated": True}))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="jobs.py")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -306,6 +361,15 @@ def main() -> None:
     pcl.add_argument("--limit", type=int, default=None)
     pcl.add_argument("--time", default=None)
     pcl.set_defaults(fn=cmd_client)
+
+    pw = sub.add_parser("debug-ws")
+    pw.add_argument("--endpoint", default="ws://127.0.0.1:6767/api/ws")
+    pw.add_argument("--max-messages", type=int, default=None)
+    pw.set_defaults(fn=cmd_debug_ws)
+
+    pt = sub.add_parser("truncate")
+    pt.add_argument("--stores", required=True)
+    pt.set_defaults(fn=cmd_truncate)
 
     args = p.parse_args()
     args.fn(args)

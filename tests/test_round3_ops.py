@@ -254,3 +254,14 @@ def test_sharded_packing_plan_shapes(spark):
         for seg in flat.split("hashpartitioning(")[1:]
     ]
     assert any("shard#" in k for k in w_keys)
+
+
+def test_range_join_never_plans_a_nested_loop(spark):
+    """The op's reason to exist: Spark plans a raw ts-interval theta
+    join as BroadcastNestedLoop/cartesian; the bucketized form must
+    always be a hash-keyed join on (user_id, bucket)."""
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s = ts.range_join(e)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "Join" in s

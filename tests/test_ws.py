@@ -173,3 +173,47 @@ def test_idle_subscriber_outlives_send_timeout_and_still_receives(spark, tmp_roo
         sock.close()
     finally:
         srv.shutdown()
+
+
+def test_debug_ws_cli_prints_span_added(spark, tmp_root):
+    """jobs.py debug-ws (the reference's debug client): connects,
+    reports the ws id, and prints the spanAdded broadcast."""
+    import os as _os
+    import subprocess
+    import sys
+    import threading
+    import urllib.request
+
+    stores = PipelineStores(spark, tmp_root + "/stores")
+    api = TraceApi(spark, stores, service_lookup_df(spark))
+    srv = serve(api)
+    try:
+        host, port = srv.server_address
+        jobs = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "jobs.py"
+        )
+        proc = subprocess.Popen(
+            [sys.executable, jobs, "debug-ws",
+             "--endpoint", f"ws://{host}:{port}/api/ws", "--max-messages", "1"],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        first = proc.stdout.readline()
+        assert json.loads(first)["connected"] is True
+
+        def ingest():
+            body = json.dumps(golden_trace_envelope(), separators=(",", ":")).encode()
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/traces", data=body, method="POST"
+            )
+            req.add_header("Content-Type", "application/json")
+            urllib.request.urlopen(req).read()
+
+        t = threading.Thread(target=ingest)
+        t.start()
+        msg = json.loads(proc.stdout.readline())
+        assert msg["type"] == "spanAdded"
+        t.join(60)
+        proc.wait(timeout=60)
+    finally:
+        srv.shutdown()
