@@ -233,10 +233,19 @@ class TraceApi:
         return 204, None
 
 
-def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
+def serve(
+    api: TraceApi,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    compress: bool = True,
+):
     """Start the HTTP front over a TraceApi; returns the live
     ``ThreadingHTTPServer`` (``.server_address`` has the bound port;
-    ``.ws_hub`` the notification hub; call ``.shutdown()`` to stop)."""
+    ``.ws_hub`` the notification hub; call ``.shutdown()`` to stop).
+    ``compress`` mirrors the dev server's CompressionLayer
+    (api.rs:87-90, enabled at dev.rs:60): responses gzip when the
+    client advertises Accept-Encoding; request bodies ALWAYS inflate
+    (RequestDecompressionLayer is unconditional, api.rs:85)."""
     from . import ws
 
     hub = ws.WsHub()
@@ -247,9 +256,22 @@ def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
             pass
 
         def _send(self, status: int, body: bytes = b"", ctype: str = "application/json"):
+            encoding = None
+            if (
+                compress
+                and body
+                and len(body) >= 64
+                and "gzip" in (self.headers.get("Accept-Encoding") or "").lower()
+            ):
+                import gzip as _gzip
+
+                body = _gzip.compress(body, mtime=0)
+                encoding = "gzip"
             self.send_response(status)
             if body:
                 self.send_header("Content-Type", ctype)
+            if encoding:
+                self.send_header("Content-Encoding", encoding)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             if body:
@@ -291,6 +313,20 @@ def serve(api: TraceApi, host: str = "127.0.0.1", port: int = 0):
                         if n > MAX_BODY:
                             return self._send(413)
                         body = self.rfile.read(n)
+                        # RequestDecompressionLayer (api.rs:85): a
+                        # gzip'd export body inflates transparently;
+                        # the 10 MiB cap applies to the WIRE size
+                        # (DefaultBodyLimit sits on the request body)
+                        enc = (self.headers.get("Content-Encoding") or "").strip().lower()
+                        if enc in ("gzip", "x-gzip"):
+                            import gzip as _gzip
+
+                            try:
+                                body = _gzip.decompress(body)
+                            except OSError:
+                                return self._send(400)
+                        elif enc and enc != "identity":
+                            return self._send(415)  # unsupported coding
                         ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                         status, out, out_ct = api.ingest(body, ctype)
                         return self._send(status, out, out_ct)

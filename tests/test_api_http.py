@@ -199,3 +199,38 @@ def test_client_cli_round_trip(server):
     assert out.returncode == 0
     out = run("traces-list")
     assert out.returncode == 0 and json.loads(out.stdout) == []
+
+
+def test_gzip_request_and_response_codings(server):
+    """RequestDecompressionLayer parity (api.rs:85): a gzip'd export
+    body inflates transparently; CompressionLayer parity (api.rs:
+    87-90): responses gzip only when the client advertises it; an
+    unknown content coding is refused."""
+    import gzip
+
+    base, _api = server
+    body = json.dumps(golden_trace_envelope(), separators=(",", ":")).encode()
+    status, out, _ = _req(
+        base, "/v1/traces", "POST", gzip.compress(body, mtime=0),
+        {"Content-Type": "application/json", "Content-Encoding": "gzip"},
+    )
+    assert status == 200 and json.loads(out) == {}
+
+    # plain client → plain response
+    status, out, headers = _req(base, "/v1/traces?limit=5")
+    assert status == 200 and "Content-Encoding" not in headers
+    plain = json.loads(out)
+
+    # gzip-capable client → gzip'd response, same content
+    status, out, headers = _req(
+        base, "/v1/traces?limit=5", headers={"Accept-Encoding": "gzip"}
+    )
+    assert status == 200 and headers.get("Content-Encoding") == "gzip"
+    assert json.loads(gzip.decompress(out)) == plain
+
+    # unsupported request coding → 415
+    status, _, _ = _req(
+        base, "/v1/traces", "POST", b"xx",
+        {"Content-Type": "application/json", "Content-Encoding": "br"},
+    )
+    assert status == 415
