@@ -265,3 +265,14 @@ def test_range_join_never_plans_a_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
     assert "Join" in s
+
+
+def test_pq_rerank_candidate_join_broadcasts(spark):
+    """The re-rank stage must reach the corpus through BROADCAST
+    joins of the tiny candidate/query sets — never a corpus-wide
+    shuffle for queries×candidates rows."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    s = sim.pq_topk_rerank(e)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
