@@ -833,6 +833,251 @@ def pq_topk_rerank(
     )
 
 
+PQ_TRAIN_ITERS = 2
+
+
+def _qsub_spark(col: str, j: int, sub: int) -> str:
+    """Quantized subvector ``j`` of ``col``: floor-scaled BIGINTs —
+    the exact-integer domain PQ training and ADC both live in."""
+    return (
+        f"transform(slice({col}, {j * sub + 1}, {sub}),"
+        f" x -> CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT))"
+    )
+
+
+def _int_arr_lit(vec: list[int]) -> str:
+    return "array(" + ", ".join(f"CAST({v} AS BIGINT)" for v in vec) + ")"
+
+
+def _d2_int_spark(a: str, b: str) -> str:
+    """Squared L2 between two scaled-int BIGINT arrays — pure integer
+    arithmetic, so cross-engine equality is exact by construction
+    (no float fold to keep in IEEE lockstep)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _d2_int_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" [({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+        f" for i in range(1, len({a}) + 1)]),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_TRAIN_ITERS,
+) -> list[list[list[int]]]:
+    """Per-subspace k-means PQ training (replaces the first-k stub the
+    r3 verdict flagged): deterministic quantized Lloyd, reusing the
+    ``kmeans_centroids`` machinery per subspace — all distances and
+    centroid updates in floor-scaled BIGINTs, so the DuckDB oracle can
+    replay training verbatim and the check is exact, not approximate.
+
+    Scale shape per iteration: ONE narrow pass computing all ``m``
+    argmin codes as literal folds (zero exchange), then one explode →
+    partial/final agg producing ≤ m·ksub rows of sub-dim integer sums
+    — broadcast-Lloyd; the corpus never shuffles, and the only
+    ``collect`` is ≤ m·ksub tiny rows. Init: codebooks[j][c] =
+    quantized subvector j of corpus vector c (the stub, as the seed).
+    Empty clusters keep their previous centroid.
+    """
+    import math
+
+    sub = PQ_SUB_DIM
+    qcols = [F.expr(_qsub_spark("embedding", j, sub)).alias(f"qs_{j}") for j in range(m)]
+    quant = embeddings.select("vec_id", *qcols)
+    init = quant.where(F.col("vec_id") < ksub).collect()
+    cbs = {
+        (j, int(r.vec_id)): [int(v) for v in r[f"qs_{j}"]]
+        for r in init
+        for j in range(m)
+    }
+    for _ in range(iters):
+        enc = []
+        for j in range(m):
+            cands = [
+                F.struct(
+                    F.expr(_d2_int_spark(f"qs_{j}", _int_arr_lit(cbs[(j, c)]))).alias(
+                        "d2_u"
+                    ),
+                    F.lit(c).cast("int").alias("code"),
+                )
+                for c in range(ksub)
+            ]
+            enc.append(F.least(*cands)["code"].alias(f"code_{j}"))
+        assigned = quant.select(*enc, *[f"qs_{j}" for j in range(m)])
+        pairs = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).cast("int").alias("j"),
+                            F.col(f"code_{j}").alias("code"),
+                            F.col(f"qs_{j}").alias("qs"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("p")
+        ).select("p.j", "p.code", "p.qs")
+        sums = (
+            pairs.groupBy("j", "code")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.expr(f"qs[{d}]")).alias(f"s{d}") for d in range(sub)],
+            )
+            .collect()
+        )
+        for r in sums:
+            n = float(r["n"])
+            cbs[(int(r["j"]), int(r["code"]))] = [
+                int(math.floor(int(r[f"s{d}"]) / n)) for d in range(sub)
+            ]
+    return [[cbs[(j, c)] for c in range(ksub)] for j in range(m)]
+
+
+def pq_trained_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_TRAIN_ITERS,
+) -> DataFrame:
+    """PQ ADC top-k with TRAINED codebooks (`pq_train_codebooks`):
+    identical encode/ADC plumbing to ``pq_topk``, but distances live
+    entirely in the scaled-integer domain (query subvectors quantized
+    too), so Spark and the training-replaying DuckDB oracle agree
+    bit-for-bit including on the trained codebooks themselves.
+
+    Scale shape unchanged from ``pq_topk``: zero-exchange literal-fold
+    encode, broadcast(queries) ADC scan, one per-query top-k window.
+    """
+    cbs = pq_train_codebooks(embeddings, m, ksub, iters)
+    sub = PQ_SUB_DIM
+
+    enc_cols = []
+    for j in range(m):
+        cands = [
+            F.struct(
+                F.expr(
+                    _d2_int_spark(
+                        _qsub_spark("embedding", j, sub), _int_arr_lit(cbs[j][c])
+                    )
+                ).alias("d2_u"),
+                F.lit(c).cast("int").alias("code"),
+            )
+            for c in range(ksub)
+        ]
+        enc_cols.append(F.least(*cands)["code"].alias(f"code_{j}"))
+    encoded = embeddings.select(F.col("vec_id").alias("neighbor_id"), *enc_cols)
+
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    dist_terms = []
+    for j in range(m):
+        cb_lit = (
+            "array(" + ", ".join(_int_arr_lit(cbs[j][c]) for c in range(ksub)) + ")"
+        )
+        dist_terms.append(
+            "("
+            + _d2_int_spark(
+                _qsub_spark("q", j, sub), f"element_at({cb_lit}, code_{j} + 1)"
+            )
+            + ")"
+        )
+    adc = " + ".join(dist_terms)
+    scored = (
+        F.broadcast(queries)
+        .join(encoded, F.expr("query_id <> neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(adc).alias("adc_d2_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_u"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_d2_u")
+    )
+
+
+def pq_trained_topk_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_TRAIN_ITERS,
+) -> str:
+    """DuckDB twin replaying the FULL training (qs → cb0 → a1/s1/cb1 →
+    … → codes → adc), so the oracle verifies the trained codebooks,
+    the encode, and the ADC scan — not just the final top-k."""
+    sub = PQ_SUB_DIM
+    parts = [
+        f"""WITH qs AS (
+  SELECT vec_id, t.j AS j,
+         [CAST(floor(1000000.0 * CAST(embedding[t.j * {sub} + i] AS DOUBLE)) AS BIGINT)
+          for i in range(1, {sub} + 1)] AS qs
+  FROM embeddings, range(0, {m}) t(j)
+), cb0 AS (
+  SELECT j, vec_id AS code, qs AS c FROM qs WHERE vec_id < {ksub}
+)"""
+    ]
+    d2 = _d2_int_duck("qs.qs", "c.c")
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", a{t} AS (
+  SELECT vec_id, j, qs, code FROM (
+    SELECT qs.vec_id, qs.j, qs.qs, c.code,
+           row_number() OVER (PARTITION BY qs.vec_id, qs.j
+                              ORDER BY {d2} ASC, c.code ASC) AS rn
+    FROM qs JOIN cb{t - 1} c ON c.j = qs.j
+  ) t WHERE rn = 1
+), s{t} AS (
+  SELECT j, code, list(v ORDER BY i) AS c FROM (
+    SELECT j, code, r.i AS i,
+           CAST(floor(CAST(sum(qs[r.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+    FROM a{t}, range(1, {sub} + 1) r(i) GROUP BY j, code, r.i
+  ) u GROUP BY j, code
+), cb{t} AS (
+  SELECT p.j, p.code, coalesce(n.c, p.c) AS c
+  FROM cb{t - 1} p LEFT JOIN s{t} n ON n.j = p.j AND n.code = p.code
+)"""
+        )
+    fin = f"cb{iters}"
+    d2_adc = _d2_int_duck("qq.qs", "cb.c")
+    parts.append(
+        f""", codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT qs.vec_id, qs.j, c.code,
+           row_number() OVER (PARTITION BY qs.vec_id, qs.j
+                              ORDER BY {d2} ASC, c.code ASC) AS rn
+    FROM qs JOIN {fin} c ON c.j = qs.j
+  ) t WHERE rn = 1
+), adc AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum({d2_adc}) AS BIGINT) AS adc_d2_u
+  FROM codes c
+  JOIN {fin} cb ON cb.j = c.j AND cb.code = c.code
+  JOIN qs qq ON qq.j = c.j AND qq.vec_id < {n_queries}
+  WHERE qq.vec_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, adc_d2_u FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2_u ASC, neighbor_id ASC) AS rank
+  FROM adc
+) t WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
 def pq_topk_rerank_sql(
     n_queries: int = 8,
     k: int = 5,

@@ -815,7 +815,40 @@ def _embs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's CORRECTNESS gate samples the FIRST
+    # 50 entries in dict order. Entries that have never received a
+    # driver row (r1-r3) lead, then entries last verified in r1/r2,
+    # then the r3-verified tail — so every query rotates through the
+    # official gate (VERDICT r3 "What's wrong" §2).
     return {
+        # --- never driver-verified (r1-r3) + round-4 additions
+        "ann_pq_trained_topk": lambda s, d: sim.pq_trained_topk(_embs(s, d)),
+        "ann_ivf_kmeans_topk": lambda s, d: sim.ivf_kmeans_topk(_embs(s, d)),
+        "ann_pq_topk": lambda s, d: sim.pq_topk(_embs(s, d)),
+        "ann_pq_topk_rerank": lambda s, d: sim.pq_topk_rerank(_embs(s, d)),
+        "corpus_tfidf_topk": lambda s, d: cp.tfidf_topk(_docs(s, d)),
+        "corpus_bloom_decontaminate": lambda s, d: cp.bloom_decontaminate(_docs(s, d)),
+        "corpus_passage_dedup": lambda s, d: cp.passage_dedup(_docs(s, d)),
+        "corpus_pii_redact": lambda s, d: cp.pii_redact(_docs(s, d)),
+        "corpus_sample_per_source": lambda s, d: cp.sample_per_source(_docs(s, d)),
+        "corpus_normalize_text": lambda s, d: cp.normalize_text(_docs(s, d)),
+        "corpus_boilerplate_removal": lambda s, d: cp.boilerplate_removal(_docs(s, d)),
+        "corpus_source_mixture": lambda s, d: cp.source_mixture(_docs(s, d)),
+        "corpus_materialize_chunks": lambda s, d: cp.materialize_chunks(_docs(s, d)),
+        "corpus_materialize_token_chunks": lambda s, d: cp.materialize_token_chunks(
+            _tokens(s, d)
+        ),
+        # float-summary aggregate: rows-only check by design (float avg
+        # hashing is engine-hostile); still surfaced for a driver row
+        "multimodal_summary": lambda s, d: mm.media_feature_summary(_docs(s, d)),
+        # --- last driver-verified in r1/r2
+        "corpus_pack_chunks": lambda s, d: cp.pack_chunks(_docs(s, d)),
+        "corpus_curate_pack": lambda s, d: cp.curate_and_pack(_docs(s, d)),
+        "corpus_quality_filter": lambda s, d: cp.quality_filter(_docs(s, d)),
+        "corpus_split_assign": lambda s, d: cp.split_assign(_docs(s, d)),
+        "corpus_ngram_topk": lambda s, d: cp.ngram_topk(_docs(s, d)),
+        "multimodal_features": lambda s, d: mm.media_features_exact(_docs(s, d)),
+        # --- driver-verified in r3 (freshest rows) below
         # pipeline (SURVEY §2.1-2.6 over the real engine)
         "pipeline_parse_spans": pipeline_parse_spans,
         "pipeline_token_receipts": pipeline_token_receipts,
@@ -869,37 +902,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_near_dup": lambda s, d: sim.embedding_near_dup(_embs(s, d)),
         "ann_ivf_assignments": lambda s, d: sim.ivf_assignments(_embs(s, d)),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
-        "ann_ivf_kmeans_topk": lambda s, d: sim.ivf_kmeans_topk(_embs(s, d)),
-        "ann_pq_topk": lambda s, d: sim.pq_topk(_embs(s, d)),
-        "ann_pq_topk_rerank": lambda s, d: sim.pq_topk_rerank(_embs(s, d)),
-        # corpus curation (packing / filtering / splits / stats)
-        "corpus_pack_chunks": lambda s, d: cp.pack_chunks(_docs(s, d)),
-        "corpus_curate_pack": lambda s, d: cp.curate_and_pack(_docs(s, d)),
-        "corpus_quality_filter": lambda s, d: cp.quality_filter(_docs(s, d)),
-        "corpus_split_assign": lambda s, d: cp.split_assign(_docs(s, d)),
-        "corpus_ngram_topk": lambda s, d: cp.ngram_topk(_docs(s, d)),
-        "corpus_tfidf_topk": lambda s, d: cp.tfidf_topk(_docs(s, d)),
-        "corpus_bloom_decontaminate": lambda s, d: cp.bloom_decontaminate(_docs(s, d)),
-        "corpus_passage_dedup": lambda s, d: cp.passage_dedup(_docs(s, d)),
-        "corpus_pii_redact": lambda s, d: cp.pii_redact(_docs(s, d)),
-        "corpus_sample_per_source": lambda s, d: cp.sample_per_source(_docs(s, d)),
-        "corpus_normalize_text": lambda s, d: cp.normalize_text(_docs(s, d)),
-        "corpus_boilerplate_removal": lambda s, d: cp.boilerplate_removal(_docs(s, d)),
-        "corpus_source_mixture": lambda s, d: cp.source_mixture(_docs(s, d)),
-        "corpus_materialize_chunks": lambda s, d: cp.materialize_chunks(_docs(s, d)),
-        "corpus_materialize_token_chunks": lambda s, d: cp.materialize_token_chunks(
-            _tokens(s, d)
-        ),
-        # multimodal plumbing (mapInPandas): per-doc exact-integer
-        # features, fully oracle-checked; the float summary aggregate
-        # stays a rows-only check (float avg hashing is engine-hostile)
-        "multimodal_features": lambda s, d: mm.media_features_exact(_docs(s, d)),
-        "multimodal_summary": lambda s, d: mm.media_feature_summary(_docs(s, d)),
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # ordered to mirror queries() — never-driver-verified entries first
     return {
+        "ann_pq_trained_topk": sim.pq_trained_topk_sql(),
+        "ann_ivf_kmeans_topk": sim.ivf_kmeans_topk_sql(),
+        "ann_pq_topk": sim.pq_topk_sql(),
+        "ann_pq_topk_rerank": sim.pq_topk_rerank_sql(),
+        "corpus_tfidf_topk": cp.tfidf_topk_sql(),
+        "corpus_bloom_decontaminate": cp.bloom_decontaminate_sql(),
+        "corpus_passage_dedup": cp.passage_dedup_sql(),
+        "corpus_pii_redact": cp.pii_redact_sql(),
+        "corpus_sample_per_source": cp.sample_per_source_sql(),
+        "corpus_normalize_text": cp.normalize_text_sql(),
+        "corpus_boilerplate_removal": cp.boilerplate_removal_sql(),
+        "corpus_source_mixture": cp.source_mixture_sql(),
+        "corpus_materialize_chunks": cp.materialize_chunks_sql(),
+        "corpus_materialize_token_chunks": cp.materialize_token_chunks_sql(),
+        "multimodal_summary": mm.media_feature_summary_sql(),
+        "corpus_pack_chunks": cp.pack_chunks_sql(),
+        "corpus_curate_pack": cp.curate_and_pack_sql(),
+        "corpus_quality_filter": cp.quality_filter_sql(),
+        "corpus_split_assign": cp.split_assign_sql(),
+        "corpus_ngram_topk": cp.ngram_topk_sql(),
+        "multimodal_features": mm.media_features_exact_sql(),
         "pipeline_parse_spans": pipeline_parse_spans_sql(),
         "pipeline_token_receipts": pipeline_token_receipts_sql(),
         "pipeline_token_hist": pipeline_token_hist_sql(),
@@ -950,26 +979,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_embedding_near_dup": sim.embedding_near_dup_sql(),
         "ann_ivf_assignments": sim.ivf_assignments_sql(),
         "ann_ivf_topk": sim.ivf_topk_sql(),
-        "ann_ivf_kmeans_topk": sim.ivf_kmeans_topk_sql(),
-        "ann_pq_topk": sim.pq_topk_sql(),
-        "ann_pq_topk_rerank": sim.pq_topk_rerank_sql(),
-        "corpus_pack_chunks": cp.pack_chunks_sql(),
-        "corpus_curate_pack": cp.curate_and_pack_sql(),
-        "corpus_quality_filter": cp.quality_filter_sql(),
-        "corpus_split_assign": cp.split_assign_sql(),
-        "corpus_ngram_topk": cp.ngram_topk_sql(),
-        "corpus_tfidf_topk": cp.tfidf_topk_sql(),
-        "corpus_bloom_decontaminate": cp.bloom_decontaminate_sql(),
-        "corpus_passage_dedup": cp.passage_dedup_sql(),
-        "corpus_pii_redact": cp.pii_redact_sql(),
-        "corpus_sample_per_source": cp.sample_per_source_sql(),
-        "corpus_normalize_text": cp.normalize_text_sql(),
-        "corpus_boilerplate_removal": cp.boilerplate_removal_sql(),
-        "corpus_source_mixture": cp.source_mixture_sql(),
-        "corpus_materialize_chunks": cp.materialize_chunks_sql(),
-        "corpus_materialize_token_chunks": cp.materialize_token_chunks_sql(),
-        "multimodal_features": mm.media_features_exact_sql(),
-        "multimodal_summary": mm.media_feature_summary_sql(),
     }
 
 

@@ -58,6 +58,49 @@ def test_pq_topk_recall_floor(frames):
     assert r >= 0.05
 
 
+def test_pq_trained_recall_floor_vs_stub(frames):
+    """Trained codebooks (per-subspace quantized Lloyd) must not lose
+    recall vs the first-k stub at identical geometry — the r3 verdict's
+    acceptance bar for replacing the stub. (Numpy pre-measurement said
+    ~0.20 → ~0.25 at m=4/ksub=8; the corpus is deterministic so this
+    is a stable assertion, not a flaky benchmark.)"""
+    e, exact = frames
+    stub = _recall(sim.pq_topk(e).collect(), exact)
+    trained = _recall(sim.pq_trained_topk(e).collect(), exact)
+    print(f"pq trained recall@5 = {trained:.3f} (stub {stub:.3f})")
+    assert trained >= stub
+    assert trained >= 0.05
+
+
+def test_pq_trained_encode_zero_exchange(frames):
+    """The trained-codebook encode must stay a literal argmin fold —
+    a narrow map over the scan with NO Exchange (the scale property
+    `pq_topk` pins; training must not regress it)."""
+    e, _ = frames
+    from pyspark.sql import functions as F
+
+    cbs = sim.pq_train_codebooks(e)
+    sub = sim.PQ_SUB_DIM
+    enc_cols = []
+    for j in range(sim.PQ_M):
+        cands = [
+            F.struct(
+                F.expr(
+                    sim._d2_int_spark(
+                        sim._qsub_spark("embedding", j, sub),
+                        sim._int_arr_lit(cbs[j][c]),
+                    )
+                ).alias("d2_u"),
+                F.lit(c).cast("int").alias("code"),
+            )
+            for c in range(sim.PQ_KSUB)
+        ]
+        enc_cols.append(F.least(*cands)["code"].alias(f"code_{j}"))
+    encoded = e.select(F.col("vec_id"), *enc_cols)
+    plan = encoded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_pq_rerank_recall_beats_raw_pq(frames):
     """Candidate-pool + exact re-rank must strictly improve on raw
     ADC ordering (measured 0.20 → 0.525 here) — the property that
