@@ -310,20 +310,23 @@ def serve(
                 if not rest:
                     if method == "POST":
                         n = int(self.headers.get("Content-Length", 0))
-                        if n > MAX_BODY:
+                        enc = (self.headers.get("Content-Encoding") or "").strip().lower()
+                        gzipped = enc in ("gzip", "x-gzip")
+                        # RequestDecompressionLayer (api.rs:85) sits
+                        # OUTSIDE DefaultBodyLimit (api.rs:66), so the
+                        # 10 MiB cap applies to the DECOMPRESSED
+                        # stream; the wire allowance for gzip covers
+                        # the worst-case ~0.1% incompressible overhead
+                        wire_cap = MAX_BODY + 65536 if gzipped else MAX_BODY
+                        if n > wire_cap:
                             return self._send(413)
                         body = self.rfile.read(n)
-                        # RequestDecompressionLayer (api.rs:85): a
-                        # gzip'd export body inflates transparently;
-                        # the 10 MiB cap applies to the WIRE size
-                        # (DefaultBodyLimit sits on the request body)
-                        enc = (self.headers.get("Content-Encoding") or "").strip().lower()
-                        if enc in ("gzip", "x-gzip"):
-                            import gzip as _gzip
-
+                        if gzipped:
                             try:
-                                body = _gzip.decompress(body)
-                            except OSError:
+                                body = grpc_adapter.gunzip_bounded(body, MAX_BODY)
+                            except grpc_adapter.InflateTooLarge:
+                                return self._send(413)
+                            except ValueError:
                                 return self._send(400)
                         elif enc and enc != "identity":
                             return self._send(415)  # unsupported coding
@@ -369,24 +372,35 @@ def serve(
             if method != "POST":
                 return self._send(405)
             n = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(n)
-            enc = self.headers.get("grpc-encoding", "identity")
-            try:
-                code, msg, out = grpc_adapter.unary_export(
-                    api.spark,
-                    api.stores,
-                    api.lookup,
-                    body,
-                    enc,
-                    on_ingested=api.notify_span_added,
-                )
-            except Exception:
-                # tonic::Status::internal("Failed to ingest export data")
+            # reject BEFORE buffering: the in-frame MAX_MESSAGE check
+            # only runs after the whole body is in memory, so an
+            # oversized Content-Length must bounce here (wire allowance
+            # = frame header + gzip overhead on a max-size message)
+            if n > grpc_adapter.MAX_MESSAGE + 65536:
                 code, msg, out = (
-                    grpc_adapter.GRPC_INTERNAL,
-                    "Failed to ingest export data",
+                    grpc_adapter.GRPC_RESOURCE_EXHAUSTED,
+                    "message exceeds 10MiB",
                     b"",
                 )
+            else:
+                body = self.rfile.read(n)
+                enc = self.headers.get("grpc-encoding", "identity")
+                try:
+                    code, msg, out = grpc_adapter.unary_export(
+                        api.spark,
+                        api.stores,
+                        api.lookup,
+                        body,
+                        enc,
+                        on_ingested=api.notify_span_added,
+                    )
+                except Exception:
+                    # tonic::Status::internal("Failed to ingest export data")
+                    code, msg, out = (
+                        grpc_adapter.GRPC_INTERNAL,
+                        "Failed to ingest export data",
+                        b"",
+                    )
             self.send_response(200)
             self.send_header("Content-Type", "application/grpc")
             self.send_header("Content-Length", str(len(out)))

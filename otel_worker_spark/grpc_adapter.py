@@ -61,6 +61,42 @@ class GrpcError(Exception):
         self.grpc_message = message
 
 
+class InflateTooLarge(Exception):
+    """Decompressed size exceeded the caller's limit (gzip bomb)."""
+
+
+def gunzip_bounded(data: bytes, limit: int) -> bytes:
+    """Incrementally inflate a gzip stream, aborting as soon as the
+    decompressed size exceeds ``limit`` — a ~10 MiB gzip bomb must
+    cost at most ``limit`` bytes of memory, not its ~10 GiB expansion.
+    Mirrors the reference's layering, where the body limit applies to
+    the DECOMPRESSED stream (DefaultBodyLimit inside
+    RequestDecompressionLayer, api.rs:66,85).
+
+    Raises InflateTooLarge over limit; ValueError on a corrupt or
+    truncated stream."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)  # gzip container only
+    out = bytearray()
+    try:
+        while data:
+            out.extend(d.decompress(data, limit + 1 - len(out)))
+            if len(out) > limit:
+                raise InflateTooLarge(f"decompressed body exceeds {limit} bytes")
+            data = d.unconsumed_tail
+            if d.eof:
+                break
+        out.extend(d.flush())
+    except zlib.error as e:
+        raise ValueError(f"bad gzip stream: {e}") from e
+    if not d.eof:
+        raise ValueError("truncated gzip stream")
+    if len(out) > limit:
+        raise InflateTooLarge(f"decompressed body exceeds {limit} bytes")
+    return bytes(out)
+
+
 def encode_frame(message: bytes, compress: bool = False) -> bytes:
     """One Length-Prefixed-Message: flag + u32 BE length + bytes."""
     if compress:
@@ -98,8 +134,12 @@ def decode_frames(stream: bytes, encoding: str = "identity") -> list[bytes]:
                     GRPC_UNIMPLEMENTED, f"unsupported grpc-encoding {encoding!r}"
                 )
             try:
-                out.append(gzip.decompress(msg))
-            except OSError as e:
+                # cap applies to the INFLATED message too (a compressed
+                # frame under 10MiB on the wire must not balloon past it)
+                out.append(gunzip_bounded(msg, MAX_MESSAGE))
+            except InflateTooLarge as e:
+                raise GrpcError(GRPC_RESOURCE_EXHAUSTED, "message exceeds 10MiB") from e
+            except ValueError as e:
                 raise GrpcError(GRPC_INTERNAL, f"bad gzip payload: {e}") from e
         else:
             raise GrpcError(GRPC_INTERNAL, f"bad frame flag {flag}")

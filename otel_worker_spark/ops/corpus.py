@@ -1023,15 +1023,22 @@ def boilerplate_removal(
     corpora); this is the training-data extension the north rule asks
     for, same family as ``passage_dedup`` (`ops/corpus.py:481`).
     """
-    wins = documents.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, (size({_WORDS}) - 1) div {w}),"
-                f" i -> concat_ws(' ', slice({_WORDS}, i * {w} + 1, {w})))"
-            )
-        ).alias("idx", "win"),
-    ).withColumn("digest", F.md5("win"))
+    # zero-word guard (as pack_chunks does): Spark's (size-1) div w
+    # truncates toward zero (→ one empty window) while DuckDB floors
+    # to -1 (→ no rows) — filter empty docs on BOTH engines instead
+    wins = (
+        documents.where(F.expr(f"size({_WORDS}) > 0"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size({_WORDS}) - 1) div {w}),"
+                    f" i -> concat_ws(' ', slice({_WORDS}, i * {w} + 1, {w})))"
+                )
+            ).alias("idx", "win"),
+        )
+        .withColumn("digest", F.md5("win"))
+    )
     spread = wins.groupBy("digest").agg(
         F.countDistinct("doc_id").alias("n_docs_with")
     )
@@ -1070,6 +1077,7 @@ WITH wins AS (
          unnest([array_to_string({_WORDS_DUCK}[i * {w} + 1 : i * {w} + {w}], ' ')
                  for i in range(0, (len({_WORDS_DUCK}) - 1) // {w} + 1)]) AS win
   FROM documents
+  WHERE len({_WORDS_DUCK}) > 0
 ), d AS (
   SELECT *, md5(win) AS digest FROM wins
 ), spread AS (

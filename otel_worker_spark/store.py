@@ -429,14 +429,33 @@ class TableStore:
         )
         return {"files_in": len(removed), "files_out": len(added), "rows": total_rows}
 
-    def vacuum(self) -> dict:
+    #: grace period before an uncommitted file counts as an orphan —
+    #: long enough for any in-flight append to publish its commit
+    ORPHAN_RETENTION_SECONDS = 300.0
+
+    def vacuum(self, retention_seconds: float | None = None) -> dict:
         """Reclaim physical files no longer reachable by any reader:
         files SUPERSEDED by a COW rewrite/compaction/truncate, and
         ORPHANS from writes that crashed before their commit published.
         Never touches a live file; the commit log itself is kept (it
         is the table history). Returns counts + bytes reclaimed.
+
+        Orphan classification is mtime-gated: a parquet that never
+        appeared in ANY commit is skipped while younger than
+        ``retention_seconds`` (default ORPHAN_RETENTION_SECONDS), so a
+        CONCURRENT in-flight append — written but not yet committed —
+        is not deleted out from under its writer. Files the log knows
+        about (superseded by a later commit) reclaim immediately
+        regardless of age. Time-travel/read_batch history dies with
+        them by design.
         """
+        if retention_seconds is None:
+            retention_seconds = self.ORPHAN_RETENTION_SECONDS
         live = set(self.live_files())
+        ever_committed: set[str] = set()
+        for e in self._entries():
+            ever_committed.update(e.get("added_files") or [])
+        now = time.time()
         live_dirs = {os.path.dirname(f) for f in live}
         removed_files = 0
         removed_bytes = 0
@@ -449,13 +468,26 @@ class TableStore:
                     continue
                 if name.endswith(".parquet"):
                     # data not live = superseded (in the log) or
-                    # orphaned (write crashed before its commit)
+                    # orphaned (write crashed before its commit);
+                    # young never-committed files may be in-flight
+                    if path not in ever_committed:
+                        try:
+                            if now - os.path.getmtime(path) < retention_seconds:
+                                continue
+                        except OSError:
+                            continue
                     removed_bytes += os.path.getsize(path)
                     os.unlink(path)
                     removed_files += 1
                 elif not dir_is_live:
                     # write-job metadata (_SUCCESS, .crc) of a dead
-                    # directory goes with it; live dirs keep theirs
+                    # directory goes with it; live dirs keep theirs,
+                    # and possibly-in-flight dirs get the same grace
+                    try:
+                        if now - os.path.getmtime(path) < retention_seconds:
+                            continue
+                    except OSError:
+                        continue
                     removed_bytes += os.path.getsize(path)
                     os.unlink(path)
                     removed_files += 1

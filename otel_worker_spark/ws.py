@@ -76,45 +76,54 @@ def encode_frame(payload: bytes, opcode: int = OP_TEXT, mask: bool = False) -> b
 def read_frame(sock) -> tuple[int, bytes] | None:
     """Read one frame from a socket; returns (opcode, payload) or
     None on EOF. Unmasks when the mask bit is set."""
+    consumed = False
 
     def recv_exact(k: int) -> bytes | None:
+        nonlocal consumed
         buf = b""
         while len(buf) < k:
             chunk = sock.recv(k - len(buf))
             if not chunk:
                 return None
             buf += chunk
+            consumed = True
         return buf
 
     try:
         head = recv_exact(2)
+        if head is None:
+            return None
+        opcode = head[0] & 0x0F
+        masked = head[1] & 0x80
+        n = head[1] & 0x7F
+        if n == 126:
+            ext = recv_exact(2)
+            if ext is None:
+                return None
+            n = struct.unpack(">H", ext)[0]
+        elif n == 127:
+            ext = recv_exact(8)
+            if ext is None:
+                return None
+            n = struct.unpack(">Q", ext)[0]
+        key = b""
+        if masked:
+            key = recv_exact(4)
+            if key is None:
+                return None
+        payload = recv_exact(n) if n else b""
+        if payload is None:
+            return None
     except TimeoutError:
-        # idle socket with a send-protection timeout set: not an
-        # error, just nothing to read yet (frame-boundary safe)
+        if consumed:
+            # the timeout fired MID-FRAME (e.g. after 1 of 2 header
+            # bytes): the byte stream can no longer be re-framed, so
+            # signal close instead of silently desyncing
+            return None
+        # idle socket with a send-protection timeout set and ZERO bytes
+        # consumed: not an error, just nothing to read yet — the only
+        # case that is actually frame-boundary safe
         return (OP_NONE, b"")
-    if head is None:
-        return None
-    opcode = head[0] & 0x0F
-    masked = head[1] & 0x80
-    n = head[1] & 0x7F
-    if n == 126:
-        ext = recv_exact(2)
-        if ext is None:
-            return None
-        n = struct.unpack(">H", ext)[0]
-    elif n == 127:
-        ext = recv_exact(8)
-        if ext is None:
-            return None
-        n = struct.unpack(">Q", ext)[0]
-    key = b""
-    if masked:
-        key = recv_exact(4)
-        if key is None:
-            return None
-    payload = recv_exact(n) if n else b""
-    if payload is None:
-        return None
     if masked:
         payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
     return opcode, payload

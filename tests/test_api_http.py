@@ -234,3 +234,27 @@ def test_gzip_request_and_response_codings(server):
         {"Content-Type": "application/json", "Content-Encoding": "br"},
     )
     assert status == 415
+
+
+def test_gzip_bomb_is_413_not_oom(server):
+    """ADVICE r3: the 10 MiB body limit must apply to the DECOMPRESSED
+    stream (DefaultBodyLimit inside RequestDecompressionLayer,
+    api.rs:66,85). A small gzip bomb that inflates to ~64 MiB must
+    bounce with 413 after at most ~10 MiB of inflate work — never
+    buffer the expansion."""
+    import gzip
+
+    bomb = gzip.compress(b"\x00" * (64 * 1024 * 1024), mtime=0)
+    assert len(bomb) < 1024 * 1024  # small on the wire
+    status, _, _ = _req(
+        base := server[0], "/v1/traces", "POST", bomb,
+        {"Content-Type": "application/json", "Content-Encoding": "gzip"},
+    )
+    assert status == 413
+
+    # corrupt gzip stays a 400, as before
+    status, _, _ = _req(
+        base, "/v1/traces", "POST", b"\x1f\x8b\x00garbage",
+        {"Content-Type": "application/json", "Content-Encoding": "gzip"},
+    )
+    assert status == 400

@@ -131,3 +131,50 @@ def test_grpc_over_http_front_bypasses_bearer_gate(spark, tmp_root):
         assert [t["traceId"] for t in traces] == [GOLDEN_TRACE_ID]
     finally:
         srv.shutdown()
+
+
+def test_gunzip_bounded_caps_inflation():
+    """A compressed frame under the wire cap must not balloon past
+    MAX_MESSAGE when inflated (ADVICE r3): the bounded inflater stops
+    at the limit, and decode_frames maps it to RESOURCE_EXHAUSTED."""
+    bomb = gzip.compress(b"\x00" * (g.MAX_MESSAGE * 4), mtime=0)
+    with pytest.raises(g.InflateTooLarge):
+        g.gunzip_bounded(bomb, g.MAX_MESSAGE)
+    # a normal payload round-trips
+    assert g.gunzip_bounded(gzip.compress(b"hi", mtime=0), 10) == b"hi"
+    # truncated / corrupt streams are ValueError, not a crash
+    with pytest.raises(ValueError):
+        g.gunzip_bounded(gzip.compress(b"hello world")[:-4], 100)
+    with pytest.raises(ValueError):
+        g.gunzip_bounded(b"\x1f\x8b\x00garbage", 100)
+
+    frame = struct.pack(">BI", 1, len(bomb)) + bomb
+    with pytest.raises(g.GrpcError) as ei:
+        g.decode_frames(frame, "gzip")
+    assert ei.value.code == g.GRPC_RESOURCE_EXHAUSTED
+
+
+def test_grpc_front_rejects_oversized_content_length(spark, stores):
+    """The HTTP carrier must bounce an oversized Content-Length with
+    RESOURCE_EXHAUSTED BEFORE buffering the body (ADVICE r3)."""
+    from otel_worker_spark.fixtures import service_lookup_df
+
+    api = TraceApi(spark, stores, service_lookup_df(spark))
+    srv = serve(api)
+    host, port = srv.server_address
+    try:
+        import http.client
+
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        n = g.MAX_MESSAGE + 65536 + 1
+        conn.putrequest("POST", g.EXPORT_PATH)
+        conn.putheader("Content-Type", "application/grpc")
+        conn.putheader("Content-Length", str(n))
+        conn.endheaders()
+        # the server must answer from the header alone; send nothing
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("grpc-status") == str(g.GRPC_RESOURCE_EXHAUSTED)
+        conn.close()
+    finally:
+        srv.shutdown()

@@ -71,11 +71,12 @@ def test_vacuum_reclaims_superseded_and_orphans_only(spark, tmp_root):
         if f.endswith(".parquet")
     }
     assert on_disk - set(st.live_files())
-    # plant an orphan (a write that crashed before its commit)
+    # plant an orphan (a write that crashed before its commit);
+    # retention 0 = classify it immediately (age-gating covered below)
     orphan_dir = os.path.join(st.data_dir, "b-crashed-deadbeef")
     os.makedirs(orphan_dir)
     spark.range(5).write.mode("overwrite").parquet(orphan_dir + "/x")
-    res = st.vacuum()
+    res = st.vacuum(retention_seconds=0.0)
     assert res["files"] > 0 and res["bytes"] > 0
     assert not os.path.exists(orphan_dir + "/x") or not any(
         f.endswith(".parquet") for f in os.listdir(orphan_dir + "/x")
@@ -90,6 +91,27 @@ def test_vacuum_reclaims_superseded_and_orphans_only(spark, tmp_root):
     assert _snapshot(st) == before_rows
     # second vacuum: nothing left to reclaim
     assert st.vacuum()["files"] == 0
+
+
+def test_vacuum_retention_spares_inflight_writes(spark, tmp_root):
+    """A parquet that never appeared in any commit and is YOUNGER than
+    the retention window must survive vacuum — it may belong to a
+    concurrent append that has not published its commit yet. Files the
+    log superseded reclaim immediately regardless of age."""
+    st = _mk(spark, tmp_root)
+    st.delete_where("id % 5 = 0")  # superseded originals, fresh mtimes
+    inflight = os.path.join(st.data_dir, "b-inflight-cafebabe")
+    os.makedirs(inflight)
+    spark.range(5).write.mode("overwrite").parquet(inflight + "/x")
+    res = st.vacuum()  # default retention
+    assert res["files"] > 0  # superseded files went despite being young
+    kept = [f for f in os.listdir(inflight + "/x") if f.endswith(".parquet")]
+    assert kept, "young never-committed file was vacuumed"
+    # once past the retention window it is a true orphan
+    assert st.vacuum(retention_seconds=0.0)["files"] > 0
+    assert not os.path.exists(inflight + "/x") or not any(
+        f.endswith(".parquet") for f in os.listdir(inflight + "/x")
+    )
 
 
 def test_compact_then_vacuum_round_trip(spark, tmp_root):

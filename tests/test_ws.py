@@ -217,3 +217,35 @@ def test_debug_ws_cli_prints_span_added(spark, tmp_root):
         proc.wait(timeout=60)
     finally:
         srv.shutdown()
+
+
+def test_read_frame_midframe_timeout_closes_not_desyncs():
+    """ADVICE r3: a timeout that fires AFTER part of a frame was
+    consumed cannot be treated as an idle tick — the byte stream can
+    no longer be re-framed, so read_frame must signal close (None).
+    Zero-byte timeouts stay idle ticks (previous test)."""
+
+    class OneByteThenTimeout:
+        def __init__(self):
+            self.sent = False
+
+        def recv(self, n):
+            if not self.sent:
+                self.sent = True
+                return b"\x81"  # first header byte of a text frame
+            raise TimeoutError()
+
+    assert ws.read_frame(OneByteThenTimeout()) is None
+
+    class HeaderThenTimeout:
+        """Complete 2-byte header, then timeout before the payload."""
+
+        def __init__(self):
+            self.chunks = [b"\x81", b"\x05"]
+
+        def recv(self, n):
+            if self.chunks:
+                return self.chunks.pop(0)
+            raise TimeoutError()
+
+    assert ws.read_frame(HeaderThenTimeout()) is None
