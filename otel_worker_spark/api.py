@@ -153,13 +153,19 @@ class TraceApi:
         not the reference's N+1 loop."""
         from .queries import traces_list
 
-        top = traces_list(spans, limit, time)
+        # collect the top-k ONCE (≤20 ids), then filter the span scan
+        # with the literal id list (pushed-down In filter) — the r3
+        # shape executed the aggregate twice per request: once inside
+        # the semi-join's broadcast subplan, once for the order collect
+        top_rows = traces_list(spans, limit, time).collect()
+        order = {r.trace_id: i for i, r in enumerate(top_rows)}
+        if not order:
+            return []
         picked = (
-            spans.join(F.broadcast(top.select("trace_id")), "trace_id", "left_semi")
+            spans.where(F.col("trace_id").isin(*order))
             .select("trace_id", "start_time", "inner")
             .collect()
         )
-        order = {r.trace_id: i for i, r in enumerate(top.collect())}
         groups: dict[str, list] = {t: [] for t in order}
         for r in picked:
             groups[r.trace_id].append(r)

@@ -83,14 +83,22 @@ class OffsetLog:
         #: committed_batches() check re-parsed every entry every epoch
         #: (O(n) per epoch, O(n²) over the stream's lifetime)
         self._parsed: dict[str, dict] = {}
+        #: incrementally-maintained committed-batch-id set: the per-
+        #: epoch stream check is O(new files) — normally zero opens,
+        #: because ``record`` pre-caches its own entry — instead of a
+        #: full log re-read per micro-batch (O(n²) over a long stream)
+        self._batch_ids: set[str] = set()
+        self._batch_scanned: set[str] = set()
+
+    def _load(self, name: str) -> dict:
+        if name not in self._parsed:
+            with open(os.path.join(self.log_dir, name)) as f:
+                self._parsed[name] = json.load(f)
+        return self._parsed[name]
 
     def _entries(self) -> list[dict]:
         names = sorted(n for n in os.listdir(self.log_dir) if n.endswith(".json"))
-        for n in names:
-            if n not in self._parsed:
-                with open(os.path.join(self.log_dir, n)) as f:
-                    self._parsed[n] = json.load(f)
-        return [self._parsed[n] for n in names]
+        return [self._load(n) for n in names]
 
     def _committed_entries(self) -> list[dict]:
         return [e for e in self._entries() if e.get("type") != "intent"]
@@ -103,8 +111,30 @@ class OffsetLog:
             done.update(rec["file"] for rec in e.get("input_files", []))
         return done
 
+    def _refresh_batches(self) -> None:
+        """Fold log files not yet seen into the batch-id set. The log
+        is append-only (create-exclusive publishes), so a file is read
+        at most once per process lifetime."""
+        for n in os.listdir(self.log_dir):
+            if n.endswith(".json") and n not in self._batch_scanned:
+                e = self._load(n)
+                self._batch_scanned.add(n)
+                if e.get("type") != "intent":
+                    self._batch_ids.add(str(e["batch_id"]))
+
     def committed_batches(self) -> set[str]:
-        return {e["batch_id"] for e in self._committed_entries()}
+        self._refresh_batches()
+        return set(self._batch_ids)
+
+    def has_batch(self, batch_id: str) -> bool:
+        """Membership check for the streaming per-epoch guard: amortized
+        O(1) — a hit costs nothing; a miss costs one listdir plus reads
+        of only the files that appeared since the last call."""
+        batch_id = str(batch_id)
+        if batch_id in self._batch_ids:
+            return True
+        self._refresh_batches()
+        return batch_id in self._batch_ids
 
     def record_intent(self, batch_id: str, input_files: list[dict]) -> None:
         """Durable pre-ingest intent: WHICH files the named batch is
@@ -158,7 +188,13 @@ class OffsetLog:
             "sink_partitions": sink_partitions or [],
             "replayed": replayed,
         }
-        commit_json(self.log_dir, entry)
+        seq = commit_json(self.log_dir, entry)
+        # pre-cache our own publish: the stream's next-epoch check then
+        # finds it in the in-memory set without touching the log at all
+        name = f"{seq:012d}.json"
+        self._parsed[name] = entry
+        self._batch_scanned.add(name)
+        self._batch_ids.add(str(batch_id))
         return entry
 
     # ---- queryable views ----

@@ -63,7 +63,9 @@ def start_ingest_stream(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = _time.perf_counter()
         receipt = ingest_batch(spark, batch_df, service_lookup, stores, batch_id=epoch_id)
-        if offsets is not None and str(epoch_id) not in offsets.committed_batches():
+        # has_batch is the incremental O(1)-amortized check — a full
+        # committed_batches() here re-listed the log EVERY epoch
+        if offsets is not None and not offsets.has_batch(str(epoch_id)):
             offsets.record(
                 str(epoch_id),
                 [],

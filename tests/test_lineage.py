@@ -183,3 +183,43 @@ def test_streaming_records_rate_metrics(spark, tmp_root):
     got = mdf.agg(F.sum("input_rows")).collect()[0][0]
     assert got == total
     assert all(r["rows_per_s"] > 0 for r in mdf.collect())
+
+
+def test_offset_log_not_fully_reread_per_epoch(spark, tmp_root, monkeypatch):
+    """VERDICT r3 item 3: the streaming per-epoch committed check must
+    not re-read the whole offset log every micro-batch. Counted by
+    monkeypatching open(): same-process epochs cost ZERO log reads
+    (record() pre-caches its own publish), and a fresh process reads
+    each log file AT MOST ONCE across all epochs, not once per epoch."""
+    import builtins
+
+    log = OffsetLog(spark, os.path.join(tmp_root, "stores"))
+    for i in range(10):
+        log.record(str(i), [], 0.1, rows=1)
+
+    reads: list[str] = []
+    real_open = builtins.open
+
+    def counting_open(path, mode="r", *a, **k):
+        if str(path).startswith(log.log_dir) and "w" not in mode:
+            reads.append(str(path))
+        return real_open(path, mode, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+
+    # same-process stream loop: miss → record → hit, 10 epochs
+    for i in range(10, 20):
+        assert not log.has_batch(str(i))
+        log.record(str(i), [], 0.1, rows=1)
+        assert log.has_batch(str(i))
+    assert reads == [], f"same-process epochs re-read the log: {reads}"
+
+    # fresh process (new OffsetLog): 20 files on disk, 10 more epochs —
+    # every file parsed at most once in total (old behavior: 10 × ~25)
+    log2 = OffsetLog(spark, log.root)
+    for i in range(20, 30):
+        assert not log2.has_batch(str(i))
+        log2.record(str(i), [], 0.1, rows=1)
+        assert log2.has_batch(str(i))
+    assert len(reads) == len(set(reads)), "a log file was read twice"
+    assert len(reads) == 20
