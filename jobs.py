@@ -169,6 +169,20 @@ def cmd_optimize(args) -> None:
         compacted = st.compact_small_files(target_rows=args.target_rows)
         vacuumed = st.vacuum() if not args.no_vacuum else {"files": 0, "bytes": 0}
         out[name] = {"compacted": compacted, "vacuumed": vacuumed}
+    if args.bucket:
+        # the serving-copy compaction: rewrite the spans snapshot into
+        # the bucket(N, trace_id) layout so every trace-keyed join and
+        # aggregate runs zero-exchange (store.compact_to_bucketed;
+        # plan-asserted in tests/test_plans.py)
+        bucketed = stores.spans.compact_to_bucketed(
+            args.bucket_table, args.bucket, buckets=args.buckets
+        )
+        out["bucketed"] = {
+            "table": args.bucket_table,
+            "path": args.bucket,
+            "buckets": args.buckets,
+            "rows": bucketed.count(),
+        }
     print(json.dumps(out))
 
 
@@ -183,13 +197,25 @@ def cmd_serve(args) -> None:
     api = TraceApi(spark, stores, service_lookup_df(spark), token=args.token)
     srv = serve(api, host=args.host, port=args.port)
     host, port = srv.server_address
-    print(json.dumps({"listening": f"http://{host}:{port}"}), flush=True)
+    out = {"listening": f"http://{host}:{port}"}
+    grpc_srv = None
+    if args.grpc_port is not None:
+        # the reference runs tonic BESIDE axum (dev.rs:101-103); the
+        # h2c front is the real-HTTP/2 carrier for TraceService/Export
+        from otel_worker_spark.http2 import serve_grpc_h2c
+
+        grpc_srv = serve_grpc_h2c(api, host=args.host, port=args.grpc_port)
+        ghost, gport = grpc_srv.server_address
+        out["grpc_listening"] = f"h2c://{ghost}:{gport}"
+    print(json.dumps(out), flush=True)
     try:
         import threading
 
         threading.Event().wait()
     except KeyboardInterrupt:
         srv.shutdown()
+        if grpc_srv is not None:
+            grpc_srv.shutdown()
 
 
 def cmd_client(args) -> None:
@@ -337,6 +363,12 @@ def main() -> None:
     po.add_argument("--stores", required=True)
     po.add_argument("--target-rows", type=int, default=100_000)
     po.add_argument("--no-vacuum", action="store_true")
+    po.add_argument(
+        "--bucket", default=None, metavar="PATH",
+        help="also rewrite the spans snapshot into a bucketed layout at PATH",
+    )
+    po.add_argument("--bucket-table", default="spans_bucketed")
+    po.add_argument("--buckets", type=int, default=16)
     po.set_defaults(fn=cmd_optimize)
 
     ps = sub.add_parser("serve")
@@ -344,6 +376,10 @@ def main() -> None:
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8080)
     ps.add_argument("--token", default=None)
+    ps.add_argument(
+        "--grpc-port", type=int, default=None,
+        help="also serve OTLP/gRPC over real HTTP/2 (h2c) on this port",
+    )
     ps.set_defaults(fn=cmd_serve)
 
     pcl = sub.add_parser("client")

@@ -1,0 +1,646 @@
+"""S3 carrier: gRPC over REAL HTTP/2 (h2c, prior-knowledge) from the
+public specs — RFC 7540 (framing) + RFC 7541 (HPACK, incl. the static
+Huffman code) + the gRPC PROTOCOL-HTTP2 mapping.
+
+The reference serves OTLP/gRPC via tonic/h2
+(`otel-worker-cli/src/grpc.rs:20-36`, started in
+`commands/dev.rs:101-103`). Rounds 1-3 carried the unary Export over
+HTTP/1.1 because no gRPC/h2 runtime ships in this image (probe
+recorded in tests/test_http2.py: grpc, grpcio, h2, hpack, hyperframe
+all ImportError); this module removes that gap at the transport level
+by implementing the h2c server itself:
+
+- connection preface + SETTINGS/PING/WINDOW_UPDATE/GOAWAY handling,
+- HEADERS (+CONTINUATION, PADDED/PRIORITY flags) and DATA frames,
+- a full HPACK decoder — static + dynamic tables, size updates, and
+  RFC 7541 Appendix B Huffman decoding (validated in tests by the
+  code's completeness/canonicity invariants and the RFC Appendix C
+  vectors), so a stock client's header encoding decodes correctly,
+- HPACK response encoding (literal-without-indexing — always legal),
+- gRPC response trailers as a trailing HEADERS frame (the part
+  HTTP/1.1 cannot express, and the reason stock clients need h2),
+- per-frame flow-control WINDOW_UPDATEs so clients can stream bodies
+  past the 64 KiB initial window.
+
+A stock ``grpcio`` channel pointed at this server would complete the
+Export RPC; absent one in-image, ``H2UnaryClient`` below speaks the
+same wire format for the in-repo round-trip tests.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+from . import grpc_adapter
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+
+# frame types (RFC 7540 §6)
+F_DATA = 0x0
+F_HEADERS = 0x1
+F_PRIORITY = 0x2
+F_RST_STREAM = 0x3
+F_SETTINGS = 0x4
+F_PUSH_PROMISE = 0x5
+F_PING = 0x6
+F_GOAWAY = 0x7
+F_WINDOW_UPDATE = 0x8
+F_CONTINUATION = 0x9
+
+# flags
+FL_END_STREAM = 0x1
+FL_ACK = 0x1
+FL_END_HEADERS = 0x4
+FL_PADDED = 0x8
+FL_PRIORITY = 0x20
+
+MAX_FRAME = 16384  # SETTINGS_MAX_FRAME_SIZE default
+
+
+# --------------------------------------------------------------- HPACK
+
+#: RFC 7541 Appendix A static table (index 1-61)
+STATIC_TABLE: list[tuple[str, str]] = [
+    (":authority", ""),
+    (":method", "GET"),
+    (":method", "POST"),
+    (":path", "/"),
+    (":path", "/index.html"),
+    (":scheme", "http"),
+    (":scheme", "https"),
+    (":status", "200"),
+    (":status", "204"),
+    (":status", "206"),
+    (":status", "304"),
+    (":status", "400"),
+    (":status", "404"),
+    (":status", "500"),
+    ("accept-charset", ""),
+    ("accept-encoding", "gzip, deflate"),
+    ("accept-language", ""),
+    ("accept-ranges", ""),
+    ("accept", ""),
+    ("access-control-allow-origin", ""),
+    ("age", ""),
+    ("allow", ""),
+    ("authorization", ""),
+    ("cache-control", ""),
+    ("content-disposition", ""),
+    ("content-encoding", ""),
+    ("content-language", ""),
+    ("content-length", ""),
+    ("content-location", ""),
+    ("content-range", ""),
+    ("content-type", ""),
+    ("cookie", ""),
+    ("date", ""),
+    ("etag", ""),
+    ("expect", ""),
+    ("expires", ""),
+    ("from", ""),
+    ("host", ""),
+    ("if-match", ""),
+    ("if-modified-since", ""),
+    ("if-none-match", ""),
+    ("if-range", ""),
+    ("if-unmodified-since", ""),
+    ("last-modified", ""),
+    ("link", ""),
+    ("location", ""),
+    ("max-forwards", ""),
+    ("proxy-authenticate", ""),
+    ("proxy-authorization", ""),
+    ("range", ""),
+    ("referer", ""),
+    ("refresh", ""),
+    ("retry-after", ""),
+    ("server", ""),
+    ("set-cookie", ""),
+    ("strict-transport-security", ""),
+    ("transfer-encoding", ""),
+    ("user-agent", ""),
+    ("vary", ""),
+    ("via", ""),
+    ("www-authenticate", ""),
+]
+
+#: RFC 7541 Appendix B Huffman code: HUFF[symbol] = (code, bit_length)
+#: for symbols 0-255 plus EOS (256). The table is a COMPLETE canonical
+#: prefix code — tests assert sum(2^-len) == 1 and the canonical
+#: code-value progression, which pin every entry, not just the ones
+#: the RFC Appendix C vectors happen to exercise.
+HUFF: list[tuple[int, int]] = [
+    (0x1FF8, 13), (0x7FFFD8, 23), (0xFFFFFE2, 28), (0xFFFFFE3, 28),
+    (0xFFFFFE4, 28), (0xFFFFFE5, 28), (0xFFFFFE6, 28), (0xFFFFFE7, 28),
+    (0xFFFFFE8, 28), (0xFFFFEA, 24), (0x3FFFFFFC, 30), (0xFFFFFE9, 28),
+    (0xFFFFFEA, 28), (0x3FFFFFFD, 30), (0xFFFFFEB, 28), (0xFFFFFEC, 28),
+    (0xFFFFFED, 28), (0xFFFFFEE, 28), (0xFFFFFEF, 28), (0xFFFFFF0, 28),
+    (0xFFFFFF1, 28), (0xFFFFFF2, 28), (0x3FFFFFFE, 30), (0xFFFFFF3, 28),
+    (0xFFFFFF4, 28), (0xFFFFFF5, 28), (0xFFFFFF6, 28), (0xFFFFFF7, 28),
+    (0xFFFFFF8, 28), (0xFFFFFF9, 28), (0xFFFFFFA, 28), (0xFFFFFFB, 28),
+    (0x14, 6), (0x3F8, 10), (0x3F9, 10), (0xFFA, 12),
+    (0x1FF9, 13), (0x15, 6), (0xF8, 8), (0x7FA, 11),
+    (0x3FA, 10), (0x3FB, 10), (0xF9, 8), (0x7FB, 11),
+    (0xFA, 8), (0x16, 6), (0x17, 6), (0x18, 6),
+    (0x0, 5), (0x1, 5), (0x2, 5), (0x19, 6),
+    (0x1A, 6), (0x1B, 6), (0x1C, 6), (0x1D, 6),
+    (0x1E, 6), (0x1F, 6), (0x5C, 7), (0xFB, 8),
+    (0x7FFC, 15), (0x20, 6), (0xFFB, 12), (0x3FC, 10),
+    (0x1FFA, 13), (0x21, 6), (0x5D, 7), (0x5E, 7),
+    (0x5F, 7), (0x60, 7), (0x61, 7), (0x62, 7),
+    (0x63, 7), (0x64, 7), (0x65, 7), (0x66, 7),
+    (0x67, 7), (0x68, 7), (0x69, 7), (0x6A, 7),
+    (0x6B, 7), (0x6C, 7), (0x6D, 7), (0x6E, 7),
+    (0x6F, 7), (0x70, 7), (0x71, 7), (0x72, 7),
+    (0xFC, 8), (0x73, 7), (0xFD, 8), (0x1FFB, 13),
+    (0x7FFF0, 19), (0x1FFC, 13), (0x3FFC, 14), (0x22, 6),
+    (0x7FFD, 15), (0x3, 5), (0x23, 6), (0x4, 5),
+    (0x24, 6), (0x5, 5), (0x25, 6), (0x26, 6),
+    (0x27, 6), (0x6, 5), (0x74, 7), (0x75, 7),
+    (0x28, 6), (0x29, 6), (0x2A, 6), (0x7, 5),
+    (0x2B, 6), (0x76, 7), (0x2C, 6), (0x8, 5),
+    (0x9, 5), (0x2D, 6), (0x77, 7), (0x78, 7),
+    (0x79, 7), (0x7A, 7), (0x7B, 7), (0x7FFE, 15),
+    (0x7FC, 11), (0x3FFD, 14), (0x1FFD, 13), (0xFFFFFFC, 28),
+    (0xFFFE6, 20), (0x3FFFD2, 22), (0xFFFE7, 20), (0xFFFE8, 20),
+    (0x3FFFD3, 22), (0x3FFFD4, 22), (0x3FFFD5, 22), (0x7FFFD9, 23),
+    (0x3FFFD6, 22), (0x7FFFDA, 23), (0x7FFFDB, 23), (0x7FFFDC, 23),
+    (0x7FFFDD, 23), (0x7FFFDE, 23), (0xFFFFEB, 24), (0x7FFFDF, 23),
+    (0xFFFFEC, 24), (0xFFFFED, 24), (0x3FFFD7, 22), (0x7FFFE0, 23),
+    (0xFFFFEE, 24), (0x7FFFE1, 23), (0x7FFFE2, 23), (0x7FFFE3, 23),
+    (0x7FFFE4, 23), (0x1FFFDC, 21), (0x3FFFD8, 22), (0x7FFFE5, 23),
+    (0x3FFFD9, 22), (0x7FFFE6, 23), (0x7FFFE7, 23), (0xFFFFEF, 24),
+    (0x3FFFDA, 22), (0x1FFFDD, 21), (0xFFFE9, 20), (0x3FFFDB, 22),
+    (0x3FFFDC, 22), (0x7FFFE8, 23), (0x7FFFE9, 23), (0x1FFFDE, 21),
+    (0x7FFFEA, 23), (0x3FFFDD, 22), (0x3FFFDE, 22), (0xFFFFF0, 24),
+    (0x1FFFDF, 21), (0x3FFFDF, 22), (0x7FFFEB, 23), (0x7FFFEC, 23),
+    (0x1FFFE0, 21), (0x1FFFE1, 21), (0x3FFFE0, 22), (0x1FFFE2, 21),
+    (0x7FFFED, 23), (0x3FFFE1, 22), (0x7FFFEE, 23), (0x7FFFEF, 23),
+    (0xFFFEA, 20), (0x3FFFE2, 22), (0x3FFFE3, 22), (0x3FFFE4, 22),
+    (0x7FFFF0, 23), (0x3FFFE5, 22), (0x3FFFE6, 22), (0x7FFFF1, 23),
+    (0x3FFFFE0, 26), (0x3FFFFE1, 26), (0xFFFEB, 20), (0x7FFF1, 19),
+    (0x3FFFE7, 22), (0x7FFFF2, 23), (0x3FFFE8, 22), (0x1FFFFEC, 25),
+    (0x3FFFFE2, 26), (0x3FFFFE3, 26), (0x3FFFFE4, 26), (0x7FFFFDE, 27),
+    (0x7FFFFDF, 27), (0x3FFFFE5, 26), (0xFFFFF1, 24), (0x1FFFFED, 25),
+    (0x7FFF2, 19), (0x1FFFE3, 21), (0x3FFFFE6, 26), (0x7FFFFE0, 27),
+    (0x7FFFFE1, 27), (0x3FFFFE7, 26), (0x7FFFFE2, 27), (0xFFFFF2, 24),
+    (0x1FFFE4, 21), (0x1FFFE5, 21), (0x3FFFFE8, 26), (0x3FFFFE9, 26),
+    (0xFFFFFFD, 28), (0x7FFFFE3, 27), (0x7FFFFE4, 27), (0x7FFFFE5, 27),
+    (0xFFFEC, 20), (0xFFFFF3, 24), (0xFFFED, 20), (0x1FFFE6, 21),
+    (0x3FFFE9, 22), (0x1FFFE7, 21), (0x1FFFE8, 21), (0x7FFFF3, 23),
+    (0x3FFFEA, 22), (0x3FFFEB, 22), (0x1FFFFEE, 25), (0x1FFFFEF, 25),
+    (0xFFFFF4, 24), (0xFFFFF5, 24), (0x3FFFFEA, 26), (0x7FFFF4, 23),
+    (0x3FFFFEB, 26), (0x7FFFFE6, 27), (0x3FFFFEC, 26), (0x3FFFFED, 26),
+    (0x7FFFFE7, 27), (0x7FFFFE8, 27), (0x7FFFFE9, 27), (0x7FFFFEA, 27),
+    (0x7FFFFEB, 27), (0xFFFFFFE, 28), (0x7FFFFEC, 27), (0x7FFFFED, 27),
+    (0x7FFFFEE, 27), (0x7FFFFEF, 27), (0x7FFFFF0, 27), (0x3FFFFEE, 26),
+    (0x3FFFFFFF, 30),
+]
+
+_HUFF_DECODE = {(code, nbits): sym for sym, (code, nbits) in enumerate(HUFF)}
+
+
+class H2Error(Exception):
+    pass
+
+
+def huffman_decode(data: bytes) -> bytes:
+    """Bit-serial canonical-prefix decode; trailing padding must be a
+    prefix of EOS (all 1s, <8 bits) per RFC 7541 §5.2."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for byte in data:
+        for shift in range(7, -1, -1):
+            acc = (acc << 1) | ((byte >> shift) & 1)
+            nbits += 1
+            sym = _HUFF_DECODE.get((acc, nbits))
+            if sym is not None:
+                if sym == 256:
+                    raise H2Error("EOS symbol in huffman stream")
+                out.append(sym)
+                acc = 0
+                nbits = 0
+    if nbits >= 8 or acc != (1 << nbits) - 1:
+        raise H2Error("bad huffman padding")
+    return bytes(out)
+
+
+def _int_decode(data: bytes, i: int, prefix_bits: int) -> tuple[int, int]:
+    mask = (1 << prefix_bits) - 1
+    v = data[i] & mask
+    i += 1
+    if v < mask:
+        return v, i
+    shift = 0
+    while True:
+        if i >= len(data):
+            raise H2Error("truncated hpack integer")
+        b = data[i]
+        i += 1
+        v += (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return v, i
+
+
+def _int_encode(v: int, prefix_bits: int, first_byte_bits: int = 0) -> bytes:
+    mask = (1 << prefix_bits) - 1
+    if v < mask:
+        return bytes([first_byte_bits | v])
+    out = bytearray([first_byte_bits | mask])
+    v -= mask
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+class HpackDecoder:
+    """Connection-scoped HPACK decoder: static table + dynamic table
+    with eviction and size updates — everything a stock client's
+    encoder may emit (indexed, incremental-indexing, without-indexing,
+    never-indexed, Huffman strings)."""
+
+    def __init__(self, max_size: int = 4096):
+        self.max_size = max_size  # SETTINGS_HEADER_TABLE_SIZE we advertise
+        self.cap = max_size
+        self.dyn: list[tuple[str, str]] = []  # most recent first
+
+    def _dyn_size(self) -> int:
+        return sum(len(n) + len(v) + 32 for n, v in self.dyn)
+
+    def _evict(self) -> None:
+        while self.dyn and self._dyn_size() > self.cap:
+            self.dyn.pop()
+
+    def _lookup(self, idx: int) -> tuple[str, str]:
+        if idx <= 0:
+            raise H2Error("hpack index 0")
+        if idx <= len(STATIC_TABLE):
+            return STATIC_TABLE[idx - 1]
+        d = idx - len(STATIC_TABLE) - 1
+        if d >= len(self.dyn):
+            raise H2Error(f"hpack index {idx} out of range")
+        return self.dyn[d]
+
+    def _read_string(self, data: bytes, i: int) -> tuple[str, int]:
+        if i >= len(data):
+            raise H2Error("truncated hpack string")
+        huff = bool(data[i] & 0x80)
+        n, i = _int_decode(data, i, 7)
+        if i + n > len(data):
+            raise H2Error("truncated hpack string body")
+        raw = data[i : i + n]
+        i += n
+        if huff:
+            raw = huffman_decode(raw)
+        return raw.decode("latin-1"), i
+
+    def decode(self, block: bytes) -> list[tuple[str, str]]:
+        out: list[tuple[str, str]] = []
+        i = 0
+        while i < len(block):
+            b = block[i]
+            if b & 0x80:  # indexed header field
+                idx, i = _int_decode(block, i, 7)
+                out.append(self._lookup(idx))
+            elif b & 0x40:  # literal with incremental indexing
+                idx, i = _int_decode(block, i, 6)
+                name = self._lookup(idx)[0] if idx else None
+                if name is None:
+                    name, i = self._read_string(block, i)
+                val, i = self._read_string(block, i)
+                self.dyn.insert(0, (name, val))
+                self._evict()
+                out.append((name, val))
+            elif b & 0x20:  # dynamic table size update
+                size, i = _int_decode(block, i, 5)
+                if size > self.max_size:
+                    raise H2Error("table size update above SETTINGS cap")
+                self.cap = size
+                self._evict()
+            else:  # literal without indexing (0x0) / never indexed (0x10)
+                idx, i = _int_decode(block, i, 4)
+                name = self._lookup(idx)[0] if idx else None
+                if name is None:
+                    name, i = self._read_string(block, i)
+                val, i = self._read_string(block, i)
+                out.append((name, val))
+        return out
+
+
+def hpack_encode(headers: list[tuple[str, str]]) -> bytes:
+    """Response encoding: literal-without-indexing with plain-text
+    strings — stateless, always legal, decodable by every client."""
+    out = bytearray()
+    for name, value in headers:
+        out += _int_encode(0, 4)  # new name, no indexing
+        nb = name.encode("latin-1")
+        vb = value.encode("latin-1")
+        out += _int_encode(len(nb), 7) + nb
+        out += _int_encode(len(vb), 7) + vb
+    return bytes(out)
+
+
+# ------------------------------------------------------------- framing
+
+
+def frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))[1:]
+        + bytes([ftype, flags])
+        + struct.pack(">I", stream_id & 0x7FFFFFFF)
+        + payload
+    )
+
+
+def _recv_exact(sock, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def read_frame(sock) -> tuple[int, int, int, bytes] | None:
+    head = _recv_exact(sock, 9)
+    if head is None:
+        return None
+    length = int.from_bytes(head[:3], "big")
+    ftype, flags = head[3], head[4]
+    stream_id = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+    if length > MAX_FRAME + 1024:
+        raise H2Error("frame exceeds SETTINGS_MAX_FRAME_SIZE")
+    payload = _recv_exact(sock, length) if length else b""
+    if payload is None:
+        return None
+    return ftype, flags, stream_id, payload
+
+
+# -------------------------------------------------------------- server
+
+
+class _StreamState:
+    __slots__ = ("headers", "body", "header_frags", "headers_done", "end_stream")
+
+    def __init__(self):
+        self.headers: list[tuple[str, str]] = []
+        self.body = bytearray()
+        self.header_frags = bytearray()
+        self.headers_done = False
+        self.end_stream = False
+
+
+def serve_grpc_h2c(api, host: str = "127.0.0.1", port: int = 0):
+    """Start the h2c gRPC front for ``TraceService/Export`` on its own
+    port (the reference runs tonic beside axum the same way,
+    dev.rs:101-103). Returns the ThreadingTCPServer; ``.server_address``
+    has the bound port, ``.shutdown()`` stops it."""
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            sock = self.request
+            sock.settimeout(30.0)
+            try:
+                self._session(sock)
+            except (H2Error, OSError, TimeoutError):
+                pass
+
+        def _session(self, sock):
+            if _recv_exact(sock, len(PREFACE)) != PREFACE:
+                return
+            sock.sendall(frame(F_SETTINGS, 0, 0, b""))  # our (default) settings
+            decoder = HpackDecoder()
+            streams: dict[int, _StreamState] = {}
+            bounced: set[int] = set()  # answered early; discard their tail
+            expect_continuation: int | None = None
+            while True:
+                got = read_frame(sock)
+                if got is None:
+                    return
+                ftype, flags, sid, payload = got
+                if expect_continuation is not None and ftype != F_CONTINUATION:
+                    raise H2Error("expected CONTINUATION")
+                if ftype == F_SETTINGS:
+                    if not flags & FL_ACK:
+                        sock.sendall(frame(F_SETTINGS, FL_ACK, 0, b""))
+                elif ftype == F_PING:
+                    if not flags & FL_ACK:
+                        sock.sendall(frame(F_PING, FL_ACK, 0, payload))
+                elif ftype == F_GOAWAY:
+                    return
+                elif ftype in (F_WINDOW_UPDATE, F_PRIORITY):
+                    pass
+                elif ftype == F_RST_STREAM:
+                    streams.pop(sid, None)
+                elif ftype == F_HEADERS:
+                    st = streams.setdefault(sid, _StreamState())
+                    body = payload
+                    if flags & FL_PADDED:
+                        pad = body[0]
+                        body = body[1:]
+                        if pad:
+                            body = body[:-pad]
+                    if flags & FL_PRIORITY:
+                        body = body[5:]
+                    st.header_frags += body
+                    st.end_stream = st.end_stream or bool(flags & FL_END_STREAM)
+                    if flags & FL_END_HEADERS:
+                        st.headers += decoder.decode(bytes(st.header_frags))
+                        st.header_frags.clear()
+                        st.headers_done = True
+                        if st.end_stream:
+                            self._dispatch(sock, sid, streams.pop(sid))
+                    else:
+                        expect_continuation = sid
+                elif ftype == F_CONTINUATION:
+                    if sid != expect_continuation or sid not in streams:
+                        raise H2Error("stray CONTINUATION")
+                    st = streams[sid]
+                    st.header_frags += payload
+                    if flags & FL_END_HEADERS:
+                        st.headers += decoder.decode(bytes(st.header_frags))
+                        st.header_frags.clear()
+                        st.headers_done = True
+                        expect_continuation = None
+                        if st.end_stream:
+                            self._dispatch(sock, sid, streams.pop(sid))
+                elif ftype == F_DATA:
+                    if payload:
+                        # replenish flow-control so clients can stream
+                        # bodies past the 64 KiB initial window (sent
+                        # for discarded tails too — a flow-controlled
+                        # client must be able to finish the stream)
+                        inc = struct.pack(">I", len(payload))
+                        sock.sendall(frame(F_WINDOW_UPDATE, 0, 0, inc))
+                        sock.sendall(frame(F_WINDOW_UPDATE, 0, sid, inc))
+                    if sid in bounced:
+                        if flags & FL_END_STREAM:
+                            bounced.discard(sid)
+                        continue
+                    st = streams.get(sid)
+                    if st is None or not st.headers_done:
+                        raise H2Error("DATA before HEADERS")
+                    body = payload
+                    if flags & FL_PADDED:
+                        pad = body[0]
+                        body = body[1:]
+                        if pad:
+                            body = body[:-pad]
+                    st.body += body
+                    if len(st.body) > grpc_adapter.MAX_MESSAGE + 65536:
+                        # bounce before buffering more (same pre-read
+                        # cap as the HTTP/1.1 carrier); the stream's
+                        # remaining DATA is discarded, the connection
+                        # stays usable
+                        self._respond(
+                            sock, sid,
+                            grpc_adapter.GRPC_RESOURCE_EXHAUSTED,
+                            "message exceeds 10MiB", b"",
+                        )
+                        streams.pop(sid, None)
+                        if not flags & FL_END_STREAM:
+                            bounced.add(sid)
+                        continue
+                    if flags & FL_END_STREAM:
+                        self._dispatch(sock, sid, streams.pop(sid))
+                # unknown frame types are ignored per RFC 7540 §4.1
+
+        def _dispatch(self, sock, sid: int, st: _StreamState):
+            hdrs = dict(st.headers)
+            if hdrs.get(":method") != "POST" or hdrs.get(":path") != grpc_adapter.EXPORT_PATH:
+                self._respond(
+                    sock, sid, grpc_adapter.GRPC_UNIMPLEMENTED,
+                    f"unknown method {hdrs.get(':path', '')}", b"",
+                )
+                return
+            enc = hdrs.get("grpc-encoding", "identity")
+            try:
+                code, msg, out = grpc_adapter.unary_export(
+                    api.spark, api.stores, api.lookup, bytes(st.body), enc,
+                    on_ingested=api.notify_span_added,
+                )
+            except Exception:
+                code, msg, out = (
+                    grpc_adapter.GRPC_INTERNAL, "Failed to ingest export data", b"",
+                )
+            self._respond(sock, sid, code, msg, out)
+
+        def _respond(self, sock, sid: int, code: int, msg: str, body: bytes):
+            head = hpack_encode(
+                [(":status", "200"), ("content-type", "application/grpc")]
+            )
+            sock.sendall(frame(F_HEADERS, FL_END_HEADERS, sid, head))
+            for i in range(0, len(body), MAX_FRAME):
+                sock.sendall(frame(F_DATA, 0, sid, body[i : i + MAX_FRAME]))
+            trailers = [("grpc-status", str(code))]
+            if msg:
+                trailers.append(("grpc-message", msg))
+            sock.sendall(
+                frame(
+                    F_HEADERS, FL_END_HEADERS | FL_END_STREAM, sid,
+                    hpack_encode(trailers),
+                )
+            )
+
+    class Server(socketserver.ThreadingTCPServer):
+        daemon_threads = True
+        allow_reuse_address = True
+
+    srv = Server((host, port), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+# -------------------------------------------------------------- client
+
+
+class H2UnaryClient:
+    """Minimal prior-knowledge h2c gRPC client — the same frames a
+    stock grpcio channel sends for one unary call (preface, SETTINGS,
+    HEADERS w/ the gRPC pseudo-headers, DATA, then read response +
+    trailers). Used by the in-repo round-trip tests; grpcio itself is
+    not installable in this image (probe in tests/test_http2.py)."""
+
+    def __init__(self, host: str, port: int):
+        self.sock = socket.create_connection((host, port), timeout=30)
+        self.sock.sendall(PREFACE)
+        self.sock.sendall(frame(F_SETTINGS, 0, 0, b""))
+        self.decoder = HpackDecoder()
+        self._next_stream = 1
+
+    def call(
+        self, path: str, message: bytes, encoding: str = "identity",
+        compress: bool = False,
+    ) -> tuple[dict, bytes, dict]:
+        """One unary RPC: returns (response headers, framed body bytes,
+        trailers)."""
+        sid = self._next_stream
+        self._next_stream += 2
+        headers = [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", path),
+            (":authority", "localhost"),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ]
+        if encoding != "identity":
+            headers.append(("grpc-encoding", encoding))
+        self.sock.sendall(
+            frame(F_HEADERS, FL_END_HEADERS, sid, hpack_encode(headers))
+        )
+        payload = grpc_adapter.encode_frame(message, compress=compress)
+        for i in range(0, len(payload), MAX_FRAME):
+            chunk = payload[i : i + MAX_FRAME]
+            last = i + MAX_FRAME >= len(payload)
+            self.sock.sendall(
+                frame(F_DATA, FL_END_STREAM if last else 0, sid, chunk)
+            )
+        if not payload:
+            self.sock.sendall(frame(F_DATA, FL_END_STREAM, sid, b""))
+        resp_headers: dict = {}
+        trailers: dict = {}
+        body = bytearray()
+        saw_headers = False
+        while True:
+            got = read_frame(self.sock)
+            if got is None:
+                raise H2Error("connection closed mid-call")
+            ftype, flags, fsid, payload = got
+            if ftype == F_SETTINGS:
+                if not flags & FL_ACK:
+                    self.sock.sendall(frame(F_SETTINGS, FL_ACK, 0, b""))
+                continue
+            if ftype in (F_WINDOW_UPDATE, F_PING):
+                continue
+            if fsid != sid:
+                continue
+            if ftype == F_HEADERS:
+                decoded = dict(self.decoder.decode(payload))
+                if not saw_headers:
+                    resp_headers = decoded
+                    saw_headers = True
+                else:
+                    trailers = decoded
+                if flags & FL_END_STREAM:
+                    return resp_headers, bytes(body), trailers
+            elif ftype == F_DATA:
+                body += payload
+                if flags & FL_END_STREAM:
+                    return resp_headers, bytes(body), trailers
+
+    def close(self):
+        try:
+            self.sock.sendall(frame(F_GOAWAY, 0, 0, struct.pack(">II", 0, 0)))
+        except OSError:
+            pass
+        self.sock.close()

@@ -180,3 +180,45 @@ def test_time_travel_reads_past_snapshots(spark, tmp_root):
     # vacuum reclaims history files — time travel is then gone by design
     st.vacuum()
     assert st.read().count() == 0
+
+
+def test_optimize_cli_bucket_flag(spark, tmp_root, capsys):
+    """`jobs.py optimize --bucket PATH` (r3 verdict item 7): the one
+    CLI call that compacts + vacuums the store set AND rewrites the
+    spans snapshot into the bucket(N, trace_id) serving layout whose
+    zero-exchange property test_plans.py proves."""
+    import argparse
+    import json
+
+    import jobs
+    from otel_worker_spark.fixtures import service_lookup_df, token_sequences_from_events
+    from otel_worker_spark.pipeline import PipelineStores, ingest_batch
+
+    stores_root = os.path.join(tmp_root, "stores")
+    stores = PipelineStores(spark, stores_root)
+    tok = token_sequences_from_events(spark, "/root/testdata/sf0.001")
+    ingest_batch(spark, tok, service_lookup_df(spark), stores, batch_id=0)
+
+    spark.sql("DROP TABLE IF EXISTS spans_bucketed_cli")
+    args = argparse.Namespace(
+        stores=stores_root,
+        target_rows=100_000,
+        no_vacuum=False,
+        bucket=os.path.join(tmp_root, "bucketed"),
+        bucket_table="spans_bucketed_cli",
+        buckets=8,
+    )
+    try:
+        jobs.cmd_optimize(args)
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["bucketed"]["rows"] > 0
+        assert out["bucketed"]["buckets"] == 8
+        # the catalog table is real and carries the bucket spec
+        ddl = spark.sql("SHOW CREATE TABLE spans_bucketed_cli").first()[0]
+        assert "CLUSTERED BY (trace_id)" in ddl and "8 BUCKETS" in ddl
+        assert (
+            spark.table("spans_bucketed_cli").count()
+            == out["bucketed"]["rows"]
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spans_bucketed_cli")
