@@ -151,3 +151,97 @@ def test_decoder_is_total_on_truncated_valid_wire(env, cut):
     except WireError:
         return
     assert isinstance(out, dict)
+
+
+# ---- round-4 scale-up (r3 verdict item 8) ---------------------------------
+# Deeper nesting, exhaustive per-byte truncation, and per-byte mutation
+# of a known-valid message. Corpus across this module: 200 canonical
+# round-trips + 300 garbage + 150 random truncations + 200 deep-nest
+# round-trips + every byte offset of the golden wire (truncation AND
+# two mutations per offset, ~3×450) ≥ 2000 cases.
+
+
+def _deep_anyvalue(depth: int, kind: str) -> dict:
+    """A kvlist/array chain of exact depth `depth` ending in a leaf."""
+    v: dict = {"stringValue": "leaf"}
+    for i in range(depth):
+        if kind == "kvlist":
+            v = {"kvlistValue": {"values": [{"key": f"k{i}", "value": v}]}}
+        else:
+            v = {"arrayValue": {"values": [v, {"intValue": str(i)}]}}
+    return v
+
+
+_deep_env = st.tuples(
+    st.integers(4, 12), st.sampled_from(["kvlist", "array", "mixed"])
+).map(
+    lambda t: {
+        "resourceSpans": [
+            {
+                "resource": {
+                    "attributes": [
+                        {
+                            "key": "deep",
+                            "value": _deep_anyvalue(
+                                t[0], "kvlist" if t[1] == "mixed" else t[1]
+                            ),
+                        },
+                        {
+                            "key": "deep2",
+                            "value": _deep_anyvalue(
+                                t[0] // 2,
+                                "array" if t[1] == "mixed" else t[1],
+                            ),
+                        },
+                    ]
+                },
+                "scopeSpans": [],
+            }
+        ]
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_deep_env)
+def test_wire_roundtrip_deep_nested_kvlist_array(env):
+    """AnyValue trees 4-12 levels deep (kvlist chains, array chains,
+    mixed) survive encode→decode exactly — the depth-unrolled decode
+    has no silent truncation at its unroll horizon."""
+    assert decode_export_request(encode_export_request(env)) == env
+
+
+def _golden_wire() -> bytes:
+    from otel_worker_spark.fixtures import golden_trace_envelope
+
+    return encode_export_request(golden_trace_envelope())
+
+
+def test_decoder_total_on_every_truncation_offset():
+    """Truncation at EVERY byte offset of a rich valid message: the
+    decoder either raises WireError or returns an envelope dict —
+    never an IndexError/KeyError/struct.error/infinite loop."""
+    wire = _golden_wire()
+    assert len(wire) > 200  # rich enough to cover every field path
+    for cut in range(len(wire) + 1):
+        try:
+            out = decode_export_request(wire[:cut])
+        except WireError:
+            continue
+        assert isinstance(out, dict) and "resourceSpans" in out
+
+
+def test_decoder_total_on_every_single_byte_mutation():
+    """Two adversarial mutations at every offset (bit-flip 0xFF, and
+    0x80-set, which corrupts varint continuation bits) of the golden
+    wire: decoder stays total. Catches unbounded varint loops and
+    mis-sized length prefixes that truncation alone cannot reach."""
+    wire = _golden_wire()
+    for i in range(len(wire)):
+        for mut in (wire[i] ^ 0xFF, wire[i] | 0x80):
+            data = wire[:i] + bytes([mut]) + wire[i + 1 :]
+            try:
+                out = decode_export_request(data)
+            except WireError:
+                continue
+            assert isinstance(out, dict)
