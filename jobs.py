@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
 
@@ -218,6 +219,37 @@ def cmd_serve(args) -> None:
             grpc_srv.shutdown()
 
 
+def cmd_package(args) -> None:
+    """Build the ``--py-files`` artifact for cluster submission: a
+    zip of the ``otel_worker_spark`` package (source only, no caches)
+    that every executor's Python worker can import. The cluster
+    deploy story (BASELINE.json execution constraint) is then exactly
+    the docstring at the top of this file:
+
+        spark-submit --py-files otel_worker_spark.zip jobs.py <cmd> ...
+
+    No Spark session needed. Round-tripped end-to-end by
+    tests/test_submit_packaging.py, which spark-submits an ingest
+    against the built zip from a scratch cwd."""
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "otel_worker_spark")
+    n = 0
+    with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "otel_worker_spark", os.path.relpath(full, pkg_dir)
+                )
+                z.write(full, rel)
+                n += 1
+    print(json.dumps({"out": args.out, "modules": n}))
+
+
 def cmd_client(args) -> None:
     """Thin HTTP ApiClient — the reference's `client traces|spans
     get/list/delete` commands (otel-worker-cli/src/commands/client/
@@ -381,6 +413,10 @@ def main() -> None:
         help="also serve OTLP/gRPC over real HTTP/2 (h2c) on this port",
     )
     ps.set_defaults(fn=cmd_serve)
+
+    pp = sub.add_parser("package")
+    pp.add_argument("--out", default="otel_worker_spark.zip")
+    pp.set_defaults(fn=cmd_package)
 
     pcl = sub.add_parser("client")
     pcl.add_argument(
