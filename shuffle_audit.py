@@ -1,0 +1,261 @@
+#!/usr/bin/env python
+"""Shuffle-economics audit: measured bytes, not wall-clock.
+
+Wall-clock on this sandbox drifts up to 4x with host weather
+(BASELINE.md), but the *bytes a plan moves* are a property of the plan
+and the data alone — deterministic run to run. This tool runs a
+representative slice of the registry under Spark's event log, sums
+per-query input / shuffle-write / shuffle-read / spill bytes from the
+task metrics, and extrapolates each query's shuffle volume to the
+north-rule scale (10^12 rows of its driving table). That extrapolation
+— shuffle TB at target scale vs a real cluster's aggregate disk and
+network — is the quantitative form of "would this plan survive 100x",
+which timing on a noisy single box cannot answer.
+
+Methodology:
+- one SparkSession with ``spark.eventLog.enabled`` pointed at a temp
+  dir; every query runs under its own job group
+  (``sc.setJobGroup``), so AQE's many jobs, broadcast-exchange jobs,
+  and the final action all attribute to the query that spawned them;
+- each query executes via the ``noop`` datasource writer (full plan,
+  full width, nothing collected to the driver);
+- the parse cache (``registry.enable_parse_cache``) stays OFF so each
+  query pays — and therefore shows — its own parse cost;
+- after ``spark.stop()`` the finalized event log is parsed:
+  SparkListenerJobStart maps stages -> job group, SparkListenerTaskEnd
+  accumulates the task metrics.
+
+Output: one JSON document on stdout, and (with --write) SCALE.md's
+measured table refreshed in place.
+
+Usage:
+  python shuffle_audit.py [--sf /root/testdata/sf0.1] [--cpus 16]
+                          [--queries q1,q2] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+#: representative slice: the heaviest op of each family plus the
+#: headline pipeline path (full list in __spark_entry__.queries()).
+DEFAULT_QUERIES = [
+    "pipeline_parse_spans",
+    "pipeline_enrich_agg",
+    "pipeline_trace_summaries",
+    "pipeline_traces_list",
+    "rel_sessionize",
+    "rel_range_join",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_groups",
+    "corpus_pack_chunks",
+    "corpus_curate_pack",
+    "text_unigram_rarity",
+    "ann_ivf_topk",
+    "ann_embedding_near_dup",
+]
+
+#: which table a query's cost scales with (prefix -> parquet name);
+#: extrapolation is per driving table: 10^12 rows OF THAT TABLE.
+DRIVING_TABLE = {
+    "pipeline_": "events",
+    "rel_": "events",
+    "dedup_": "documents",
+    "corpus_": "documents",
+    "text_": "documents",
+    "multimodal_": "documents",
+    "ann_": "embeddings",
+}
+
+TARGET_ROWS = 1_000_000_000_000  # the north-rule 10^12-sequence scale
+
+
+def driving_table(qname: str) -> str:
+    for prefix, table in DRIVING_TABLE.items():
+        if qname.startswith(prefix):
+            return table
+    return "events"
+
+
+def table_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
+def run_queries(sf_dir: str, cpus: int, names: list[str], event_dir: str) -> dict[str, float]:
+    """Execute each registry query under its own job group; returns
+    per-query wall seconds (context only — bytes are the product)."""
+    from otel_worker_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="shuffle-audit",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{event_dir}",
+            "spark.eventLog.compress": "false",
+        },
+    )
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    walls: dict[str, float] = {}
+    try:
+        for name in names:
+            fn = queries[name]
+            sc = spark.sparkContext
+            sc.setJobGroup(name, name, interruptOnCancel=False)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            walls[name] = round(time.perf_counter() - t0, 3)
+            print(f"  {name}: {walls[name]} s", file=sys.stderr)
+    finally:
+        spark.stop()
+    return walls
+
+
+def parse_event_log(event_dir: str) -> dict[str, dict[str, int]]:
+    """Sum task metrics per job group from the finalized event log."""
+    logs: list[str] = []
+    for p in glob.glob(os.path.join(event_dir, "*")):
+        if os.path.isdir(p):
+            # Spark 4 event-log v2: a directory of events_* part files
+            # (plus an appstatus_* marker, which json-parses to nothing)
+            logs += [q for q in glob.glob(os.path.join(p, "*")) if os.path.isfile(q)]
+        else:
+            logs.append(p)
+    finalized = [p for p in logs if ".inprogress" not in os.path.basename(p)]
+    if finalized:  # tolerate an unflushed log rather than crash
+        logs = finalized
+    stage_group: dict[int, str] = {}
+    totals: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for path in logs:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+                    if not group:
+                        continue
+                    stage_ids = ev.get("Stage IDs") or [
+                        si["Stage ID"] for si in ev.get("Stage Infos", [])
+                    ]
+                    for sid in stage_ids:
+                        stage_group.setdefault(sid, group)
+                elif kind == "SparkListenerTaskEnd":
+                    group = stage_group.get(ev.get("Stage ID"))
+                    if group is None:
+                        continue
+                    tm = ev.get("Task Metrics") or {}
+                    agg = totals[group]
+                    agg["tasks"] += 1
+                    agg["input_bytes"] += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+                    agg["input_records"] += (tm.get("Input Metrics") or {}).get("Records Read", 0)
+                    sw = tm.get("Shuffle Write Metrics") or {}
+                    agg["shuffle_write_bytes"] += sw.get("Shuffle Bytes Written", 0)
+                    sr = tm.get("Shuffle Read Metrics") or {}
+                    agg["shuffle_read_bytes"] += sr.get("Remote Bytes Read", 0) + sr.get(
+                        "Local Bytes Read", 0
+                    )
+                    agg["spill_memory_bytes"] += tm.get("Memory Bytes Spilled", 0)
+                    agg["spill_disk_bytes"] += tm.get("Disk Bytes Spilled", 0)
+    return {k: dict(v) for k, v in totals.items()}
+
+
+def audit(sf_dir: str, cpus: int, names: list[str]) -> dict:
+    event_dir = tempfile.mkdtemp(prefix="spark-events-")
+    walls = run_queries(sf_dir, cpus, names, event_dir)
+    metrics = parse_event_log(event_dir)
+    rows_cache = {t: table_rows(sf_dir, t) for t in {driving_table(n) for n in names}}
+    out = {"sf_dir": sf_dir, "cpus": cpus, "target_rows": TARGET_ROWS, "queries": {}}
+    for name in names:
+        m = metrics.get(name, {})
+        table = driving_table(name)
+        nrows = rows_cache[table]
+        sw = m.get("shuffle_write_bytes", 0)
+        out["queries"][name] = {
+            **m,
+            "wall_s": walls.get(name),
+            "driving_table": table,
+            "driving_rows": nrows,
+            "shuffle_bytes_per_row": round(sw / nrows, 2),
+            # shuffle volume if the driving table had 10^12 rows, in TB
+            "shuffle_tb_at_target": round(sw / nrows * TARGET_ROWS / 1e12, 3),
+        }
+    return out
+
+
+def render_markdown(result: dict) -> str:
+    lines = [
+        "| query | driving table | input MB | shuffle write MB | shuffle read MB | spill | B/row | TB @10^12 rows |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    mb = lambda b: f"{b / 1e6:,.1f}"
+    for name, q in result["queries"].items():
+        spill = q.get("spill_disk_bytes", 0) + q.get("spill_memory_bytes", 0)
+        lines.append(
+            f"| {name} | {q['driving_table']} ({q['driving_rows']:,}) "
+            f"| {mb(q.get('input_bytes', 0))} | {mb(q.get('shuffle_write_bytes', 0))} "
+            f"| {mb(q.get('shuffle_read_bytes', 0))} | {'0' if spill == 0 else mb(spill) + ' MB'} "
+            f"| {q['shuffle_bytes_per_row']:,.1f} | {q['shuffle_tb_at_target']:,.2f} |"
+        )
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--json-out", default="SCALE_AUDIT.json")
+    ap.add_argument("--write", action="store_true", help="refresh SCALE.md's measured table")
+    args = ap.parse_args()
+    names = [q.strip() for q in args.queries.split(",") if q.strip()]
+    result = audit(args.sf, args.cpus, names)
+    with open(args.json_out, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "queries"}))
+    print(render_markdown(result))
+    if args.write:
+        _rewrite_scale_md(result)
+
+
+BEGIN_MARK = "<!-- shuffle-audit:begin -->"
+END_MARK = "<!-- shuffle-audit:end -->"
+
+
+def _rewrite_scale_md(result: dict, path: str | None = None) -> None:
+    path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
+    if not os.path.exists(path):
+        return
+    text = open(path).read()
+    if BEGIN_MARK not in text or END_MARK not in text:
+        return
+    head, rest = text.split(BEGIN_MARK, 1)
+    _, tail = rest.split(END_MARK, 1)
+    block = (
+        f"{BEGIN_MARK}\nMeasured at `{result['sf_dir']}`, local[{result['cpus']}] "
+        f"(bytes are plan properties — stable across host weather):\n\n"
+        + render_markdown(result)
+        + f"\n{END_MARK}"
+    )
+    with open(path, "w") as fh:
+        fh.write(head + block + tail)
+
+
+if __name__ == "__main__":
+    main()
