@@ -220,11 +220,16 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
-    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES), help="comma list, or 'all' for every registry query")
     ap.add_argument("--json-out", default="SCALE_AUDIT.json")
     ap.add_argument("--write", action="store_true", help="refresh SCALE.md's measured table")
     args = ap.parse_args()
-    names = [q.strip() for q in args.queries.split(",") if q.strip()]
+    if args.queries.strip() == "all":
+        import __spark_entry__ as entry
+
+        names = list(entry.queries().keys())
+    else:
+        names = [q.strip() for q in args.queries.split(",") if q.strip()]
     result = audit(args.sf, args.cpus, names)
     with open(args.json_out, "w") as fh:
         json.dump(result, fh, indent=1)
