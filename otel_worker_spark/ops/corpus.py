@@ -481,6 +481,20 @@ def _bloom_pos_duck(gram_expr: str, i: int, m: int) -> str:
     return f"(('0x' || substr(md5('b{i}' || {gram_expr}), 1, 15))::BIGINT % {m})"
 
 
+#: portable 60-bit gram identity (same md5 prefix both engines): the
+#: per-gram aggregate exchanges this BIGINT instead of the gram STRING,
+#: so corpus text never crosses a shuffle. A collision would merge two
+#: grams in BOTH engines identically (same hash → same answer), so
+#: oracle equality is exact; the distinct-gram count is off only if
+#: two of one document's grams collide in 2^60 (~n²/2^61 per doc).
+def _gram_id_spark(gram_expr: str) -> str:
+    return f"CAST(conv(substring(md5(concat('g', {gram_expr})), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _gram_id_duck(gram_expr: str) -> str:
+    return f"(('0x' || substr(md5('g' || {gram_expr}), 1, 15))::BIGINT)"
+
+
 def bloom_decontaminate(
     documents: DataFrame,
     n: int = BLOOM_N,
@@ -495,8 +509,10 @@ def bloom_decontaminate(
     plus a bounded false-positive rate (≈(1-e^{{-kE/m}})^k).
 
     The filter travels as a broadcast set of DISTINCT bit positions
-    (≤ m small ints) — corpus-side gram strings are never shuffled,
-    which is the entire point at 100 TB.
+    (≤ m small ints), and the per-gram aggregate keys on a portable
+    60-bit gram id — corpus-side gram strings never cross a shuffle
+    (measured ~1 KB/doc of gram text before the id rework), which is
+    the entire point at 100 TB.
     """
     probes = ", ".join(_bloom_pos_spark("gram", i, m) for i in range(1, k + 1))
     eval_bits = (
@@ -509,11 +525,15 @@ def bloom_decontaminate(
     train = (
         documents.filter(F.col("source") != eval_source)
         .select("doc_id", F.explode(F.expr(f"array_distinct({_grams_expr(n)})")).alias("gram"))
-        .select("doc_id", "gram", F.explode(F.expr(f"array({probes})")).alias("pos"))
+        .select(
+            "doc_id",
+            F.expr(_gram_id_spark("gram")).alias("gram_id"),
+            F.explode(F.expr(f"array({probes})")).alias("pos"),
+        )
     )
     per_gram = (
         train.join(F.broadcast(eval_bits), "pos", "left")
-        .groupBy("doc_id", "gram")
+        .groupBy("doc_id", "gram_id")
         .agg((F.sum(F.coalesce("hit", F.lit(0))) == k).cast("int").alias("bloom_hit"))
     )
     return (
@@ -548,12 +568,12 @@ WITH eg AS (
   SELECT doc_id, unnest(list_distinct({_grams_sql(n)})) AS gram
   FROM documents WHERE source <> '{eval_source}'
 ), tp AS (
-  SELECT doc_id, gram, unnest([{probes}]) AS pos FROM tg
+  SELECT doc_id, {_gram_id_duck("gram")} AS gram_id, unnest([{probes}]) AS pos FROM tg
 ), per_gram AS (
-  SELECT tp.doc_id, tp.gram,
+  SELECT tp.doc_id, tp.gram_id,
          CAST(count(bits.pos) = {k} AS INT) AS bloom_hit
   FROM tp LEFT JOIN bits ON tp.pos = bits.pos
-  GROUP BY tp.doc_id, tp.gram
+  GROUP BY tp.doc_id, tp.gram_id
 )
 SELECT doc_id,
        count(*) AS n_distinct_grams,
