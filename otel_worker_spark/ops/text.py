@@ -187,36 +187,47 @@ def repetition(documents: DataFrame, n: int = 2) -> DataFrame:
     top-n-gram fractions; these documents are single-line, so the
     n-gram form is the operative one).
 
-    Scale shape: explode → count per (doc_id, gram) → per-doc agg.
-    Two shuffles on (doc_id[, gram]) with map-side partial aggregation
-    on both; no per-doc quadratic work (an in-array frequency count
-    via filter() would be O(d²) per document). Docs shorter than ``n``
-    words drop out (no grams), mirrored by the oracle.
+    Scale shape: ZERO shuffle — a per-doc sorted run-length fold.
+    Sort the document's own gram array, then one ``aggregate`` pass
+    counts run lengths (equal grams are adjacent after the sort), so
+    per-gram frequencies never leave the row: O(d log d) per document
+    instead of exploding ~d·n words per doc through a (doc_id, gram)
+    exchange (measured ~850 B/doc of gram text at sf0.1), and still
+    no O(d²) in-array filter() counting. The oracle keeps the
+    explode→group form — equal results, not equal plans, are what the
+    gate compares. Docs shorter than ``n`` words drop out (no grams),
+    mirrored by the oracle.
     """
-    g = documents.select(
-        "doc_id", F.explode(F.expr(_grams_expr(n))).alias("gram")
+    fold = (
+        "aggregate(array_sort(_grams), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'top', 0L, 'dup', 0L), "
+        "(a, x) -> IF(a.prev IS NULL OR x <> a.prev, "
+        "named_struct('prev', x, 'run', 1L, "
+        "             'top', greatest(a.top, a.run), "
+        "             'dup', a.dup + IF(a.run >= 2, a.run, 0L)), "
+        "named_struct('prev', a.prev, 'run', a.run + 1L, 'top', a.top, 'dup', a.dup)), "
+        "a -> named_struct('top', greatest(a.top, a.run), "
+        "                  'dup', a.dup + IF(a.run >= 2, a.run, 0L)))"
     )
-    counts = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     return (
-        counts.groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_grams"),
-            F.max("cnt").alias("top_gram_cnt"),
-            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
-                "dup_gram_mass"
-            ),
+        documents.select("doc_id", F.expr(_grams_expr(n)).alias("_grams"))
+        .where("size(_grams) > 0")
+        .select(
+            "doc_id",
+            F.expr("CAST(size(_grams) AS BIGINT)").alias("n_grams"),
+            F.expr(fold).alias("_acc"),
         )
         .select(
             "doc_id",
             "n_grams",
-            "top_gram_cnt",
-            "dup_gram_mass",
-            F.expr("CAST(floor(1000.0 * dup_gram_mass / n_grams) AS INT)").alias(
-                "dup_frac_m"
-            ),
-            F.expr("CAST(floor(1000.0 * top_gram_cnt / n_grams) AS INT)").alias(
-                "top_frac_m"
-            ),
+            F.col("_acc.top").alias("top_gram_cnt"),
+            F.col("_acc.dup").alias("dup_gram_mass"),
+            F.expr(
+                "CAST(floor(1000.0 * _acc.dup / n_grams) AS INT)"
+            ).alias("dup_frac_m"),
+            F.expr(
+                "CAST(floor(1000.0 * _acc.top / n_grams) AS INT)"
+            ).alias("top_frac_m"),
         )
     )
 

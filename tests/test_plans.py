@@ -274,6 +274,20 @@ def test_bucketed_layout_removes_trace_shuffles(spark, tmp_root):
         spark.sql("DROP TABLE IF EXISTS spans_bucketed")
 
 
+def test_repetition_is_zero_shuffle(spark):
+    """r4 rework: Gopher repetition stats fold a sorted gram array
+    per row — the explode->groupBy(doc_id, gram) form shuffled ~850
+    B/doc of gram text (shuffle_audit measurement) just to count runs
+    the row already contains."""
+    from otel_worker_spark.ops import text as tx
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = plan_of(tx.repetition(d))
+    assert "Exchange" not in s
+    assert "Generate" not in s            # no explode either
+    assert "*(" in s                     # whole-stage codegen marker
+
+
 def test_corpus_plan_shapes(spark):
     """Corpus ops (100 TB shapes): packing windows partition by source
     (never a single global window); ngram top-k is TakeOrdered, not a
