@@ -1031,13 +1031,15 @@ def boilerplate_removal(
     of the cleaned text (digest instead of the text itself keeps the
     oracle compare exact without shipping megabyte strings).
 
-    Scale shape: explode windows → ONE digest groupBy (uniform md5
-    key) for document frequency → join back on digest → per-doc
-    ordered rebuild via sort_array(collect_list) under the doc_id
-    aggregation. Two shuffles total (digest, doc_id), both on uniform
-    keys; no broadcast needed because the frequent-set join stays on
-    the already-exploded rows. The rebuild concat is bounded by the
-    document's own length.
+    Scale shape (r4 rework): window TEXT crosses exactly ONE exchange.
+    A narrow (doc_id, idx, digest) branch carries md5 digests through
+    the document-frequency groupBy and the boiler-digest join, the
+    boiler window *indexes* fold back to one int-array row per doc,
+    and the final doc_id join recomputes windows from the document's
+    own text in-row (the rebuild is bounded by the doc's own length).
+    The first cut shuffled the window text through BOTH the digest
+    join and the rebuild groupBy — measured ~1.4 KB/doc by the
+    shuffle audit, the largest analytical-op shuffle in the registry.
 
     Reference analog: no equivalent (the reference stores spans, not
     corpora); this is the training-data extension the north rule asks
@@ -1046,44 +1048,46 @@ def boilerplate_removal(
     # zero-word guard (as pack_chunks does): Spark's (size-1) div w
     # truncates toward zero (→ one empty window) while DuckDB floors
     # to -1 (→ no rows) — filter empty docs on BOTH engines instead
-    wins = (
+    wins_expr = (
+        f"transform(sequence(0, (size({_WORDS}) - 1) div {w}),"
+        f" i -> concat_ws(' ', slice({_WORDS}, i * {w} + 1, {w})))"
+    )
+    wins_narrow = (
         documents.where(F.expr(f"size({_WORDS}) > 0"))
+        .select("doc_id", F.posexplode(F.expr(wins_expr)).alias("idx", "win"))
+        # exchange key is the RAW 16-byte md5, not the 32-char hex —
+        # digest bytes are incompressible, so wire width is halved
+        .select("doc_id", "idx", F.unhex(F.md5("win")).alias("digest"))
+    )
+    boiler_digests = (
+        wins_narrow.groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("n_docs_with"))
+        .where(F.col("n_docs_with") >= min_docs)
+        .select("digest")
+    )
+    boiler_idx = (
+        wins_narrow.join(boiler_digests, "digest")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("_boiler_idx"))
+    )
+    survivors = (
+        "filter(_wins, (x, i) -> NOT array_contains(coalesce(_boiler_idx, array()), i))"
+    )
+    return (
+        documents.where(F.expr(f"size({_WORDS}) > 0"))
+        .select("doc_id", F.expr(wins_expr).alias("_wins"))
+        .join(boiler_idx, "doc_id", "left")
         .select(
             "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, (size({_WORDS}) - 1) div {w}),"
-                    f" i -> concat_ws(' ', slice({_WORDS}, i * {w} + 1, {w})))"
-                )
-            ).alias("idx", "win"),
+            F.expr("CAST(size(_wins) AS BIGINT)").alias("n_windows"),
+            F.expr(
+                "CAST(coalesce(size(_boiler_idx), 0) AS BIGINT)"
+            ).alias("n_boiler"),
+            F.md5(F.concat_ws(" ", F.expr(survivors))).alias("clean_digest"),
+            F.expr(
+                f"aggregate({survivors}, 0L, (a, x) -> a + size(split(x, ' ')))"
+            ).alias("n_clean_words"),
         )
-        .withColumn("digest", F.md5("win"))
-    )
-    spread = wins.groupBy("digest").agg(
-        F.countDistinct("doc_id").alias("n_docs_with")
-    )
-    kept = wins.join(spread, "digest").select(
-        "doc_id",
-        "idx",
-        "win",
-        (F.col("n_docs_with") >= min_docs).cast("int").alias("is_boiler"),
-    )
-    return kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_windows"),
-        F.sum("is_boiler").alias("n_boiler"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.expr(
-                    "transform(filter(sort_array(collect_list(named_struct("
-                    "'idx', idx, 'is_boiler', is_boiler, 'win', win))),"
-                    " s -> s.is_boiler = 0), s -> s.win)"
-                ),
-            )
-        ).alias("clean_digest"),
-        F.sum(
-            F.when(F.col("is_boiler") == 0, F.size(F.split("win", " "))).otherwise(0)
-        ).alias("n_clean_words"),
     )
 
 
