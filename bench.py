@@ -264,6 +264,51 @@ def _measure(cores: int) -> dict:
         spark.stop()
 
 
+def _measure_secondary(cores: int) -> dict:
+    """Second scoring window for the heavy SECONDARY headline queries
+    (same sf, fresh session): the clean-window gate brackets the
+    headline section as a whole, so a single transient hiccup inside
+    it can print a phantom 4x regression for one runs=1 query (r4:
+    dedup_groups 13.37 s in the compact line vs 2.86 s the same day).
+    The compact line takes each secondary query's best of the two
+    windows — pipeline_agg itself stays gated-window-only."""
+    from otel_worker_spark.ops import dedup as dd
+    from otel_worker_spark.ops import similarity as sim
+    from otel_worker_spark.registry import rel_pricing_summary
+    from otel_worker_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-secondary-{cores}", cores=cores, shuffle_partitions=cores
+    )
+    out: dict[str, float] = {}
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        jobs = {
+            "dedup_minhash_pairs": lambda: dd.minhash_lsh_pairs(
+                docs, hash_impl="xxhash64"
+            ).count(),
+            "dedup_minhash_pairs_128": lambda: dd.minhash_lsh_pairs(
+                docs, hash_impl="xxhash64",
+                n_perms=dd.PROD_PERMS, n_bands=dd.PROD_BANDS,
+            ).count(),
+            "dedup_groups": lambda: dd.dedup_groups(docs, hash_impl="xxhash64").count(),
+            "ann_cosine_topk": lambda: sim.cosine_topk(embs).count(),
+            "rel_pricing_summary": lambda: rel_pricing_summary(spark, SF_DIR).collect(),
+        }
+        for name, fn in jobs.items():
+            t0 = time.perf_counter()
+            try:
+                fn()
+                out[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                pass  # absent from the rescore = headline value stands
+        dd.release_persisted_signatures()
+    finally:
+        spark.stop()
+    return out
+
+
 def _registry_sweep(spark) -> dict:
     """Per-query wall time for EVERY registry query (bench hygiene:
     regressions attributable query-by-query). Runs at the CORRECTNESS
@@ -429,7 +474,7 @@ def main() -> None:
     session_probes.append(_cpu_calibration_multicore())
 
     attempts: list[dict] = []
-    primary = None
+    attempt_results: list[dict] = []
     for att in range(MAX_ATTEMPTS):
         mc_before = _cpu_calibration_multicore()
         got = _measure(CPUS)
@@ -444,16 +489,27 @@ def main() -> None:
                 "clean": clean,
             }
         )
-        if primary is None or (
-            got["queries"]["pipeline_agg"] < primary["queries"]["pipeline_agg"]
-        ):
-            primary = got
+        attempt_results.append(got)
         if clean:
             break
         time.sleep(15)  # give a transient steal window a chance to pass
 
+    def _select_primary() -> int:
+        """Archive the fastest CLEAN attempt when one exists; dirty
+        attempts only compete when every window was dirty (r4 advice:
+        a fast dirty attempt must not be archived under a clean=true
+        flag taken from a different attempt)."""
+        pool = [i for i, a in enumerate(attempts) if a["clean"]]
+        pool = pool or list(range(len(attempts)))
+        return min(pool, key=lambda i: attempts[i]["pipeline_agg"])
+
+    primary_i = _select_primary()
+    primary = attempt_results[primary_i]
+
     host_window = {
-        "clean": attempts[-1]["clean"],
+        # the verdict of the attempt actually archived, not attempts[-1]
+        "clean": attempts[primary_i]["clean"],
+        "archived_attempt": primary_i,
         "tolerance": CLEAN_TOL,
         "reference_mc_mb_per_sec": _reference(),
         "anchor_mc_mb_per_sec": MC_ANCHOR,
@@ -471,7 +527,7 @@ def main() -> None:
         "value": primary["queries"]["pipeline_agg"],
         "unit": "sec",
         "sf": SF_DIR,
-        "queries": primary["queries"],
+        "queries": dict(primary["queries"]),
         "n_seq": primary["n_seq"],
         "cores": CPUS,
         "throughput_seq_per_sec": primary["throughput_seq_per_sec"],
@@ -487,12 +543,13 @@ def main() -> None:
     }
     # sweep AFTER the accepted window, own session (detail-file only;
     # BENCH_SKIP_SWEEP=1 skips it for fast scaling-only iterations)
+    skip_extra = os.environ.get("BENCH_SKIP_SWEEP") == "1"
     detail = {
         "query_runs": primary.get("query_runs", {}),
-        "registry": (
-            {} if os.environ.get("BENCH_SKIP_SWEEP") == "1"
-            else _run_registry_sweep()
-        ),
+        "registry": {} if skip_extra else _run_registry_sweep(),
+        # same-sf second window for the heavy secondary queries —
+        # merged (min) into the compact line just before printing
+        "secondary_window": {} if skip_extra else _measure_secondary(CPUS),
     }
 
     if os.environ.get("BENCH_SCALING", "1") != "0":
@@ -582,7 +639,18 @@ def main() -> None:
             p["clean"] = _is_clean(p["mc_probe"])
         for a in attempts:
             a["clean"] = _is_clean(min(a["mc_before"], a["mc_after"]))
-        host_window["clean"] = attempts[-1]["clean"]
+        # the re-judge can flip attempt verdicts — re-select the
+        # archived attempt under the final flags and refresh every
+        # result field derived from it
+        primary_i = _select_primary()
+        primary = attempt_results[primary_i]
+        host_window["clean"] = attempts[primary_i]["clean"]
+        host_window["archived_attempt"] = primary_i
+        result["value"] = primary["queries"]["pipeline_agg"]
+        result["queries"] = dict(primary["queries"])
+        result["n_seq"] = primary["n_seq"]
+        result["throughput_seq_per_sec"] = primary["throughput_seq_per_sec"]
+        detail["query_runs"] = primary.get("query_runs", {})
         host_window["reference_mc_mb_per_sec"] = _reference()
         if round_pairs:
             clean_pairs = [p for p in round_pairs if p["clean"]]
@@ -624,6 +692,17 @@ def main() -> None:
                     ),
                 },
             }
+
+    # secondary de-noise merge: each non-gated query reports its best
+    # across (gated headline window, dedicated second window) — done
+    # LAST because the scaling re-judge can reassign result["queries"]
+    merged = []
+    for name, sec in detail.get("secondary_window", {}).items():
+        if name in result["queries"] and sec < result["queries"][name]:
+            result["queries"][name] = sec
+            merged.append(name)
+    if merged:
+        result["secondary_rescored"] = sorted(merged)
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

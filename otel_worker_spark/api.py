@@ -306,6 +306,8 @@ def serve(
                 # auth-layered API router (lib.rs:63-71) — no gate
                 return self._route_ws(method)
             if not self._authed():
+                if int(self.headers.get("Content-Length") or 0):
+                    self.close_connection = True  # body left unread
                 return self._send(401)
             parts = [p for p in url.path.split("/") if p]
             q = parse_qs(url.query)
@@ -325,6 +327,11 @@ def serve(
                         # the worst-case ~0.1% incompressible overhead
                         wire_cap = MAX_BODY + 65536 if gzipped else MAX_BODY
                         if n > wire_cap:
+                            # bouncing WITHOUT draining the body: a
+                            # keep-alive client would otherwise have
+                            # its unread bytes parsed as the next
+                            # request line — close instead
+                            self.close_connection = True
                             return self._send(413)
                         body = self.rfile.read(n)
                         if gzipped:
@@ -383,6 +390,9 @@ def serve(
             # oversized Content-Length must bounce here (wire allowance
             # = frame header + gzip overhead on a max-size message)
             if n > grpc_adapter.MAX_MESSAGE + 65536:
+                # replying without reading the body — close so the
+                # unread bytes can't desync a keep-alive connection
+                self.close_connection = True
                 code, msg, out = (
                     grpc_adapter.GRPC_RESOURCE_EXHAUSTED,
                     "message exceeds 10MiB",
@@ -412,7 +422,9 @@ def serve(
             self.send_header("Content-Length", str(len(out)))
             self.send_header("grpc-status", str(code))
             if msg:
-                self.send_header("grpc-message", msg)
+                self.send_header(
+                    "grpc-message", grpc_adapter.percent_encode_message(msg)
+                )
             self.end_headers()
             if out:
                 self.wfile.write(out)

@@ -73,28 +73,52 @@ def gunzip_bounded(data: bytes, limit: int) -> bytes:
     the DECOMPRESSED stream (DefaultBodyLimit inside
     RequestDecompressionLayer, api.rs:66,85).
 
+    Multi-member streams (valid per RFC 1952 §2.2, and what
+    ``gzip.decompress`` accepts) keep inflating member by member under
+    the same cumulative limit; trailing NUL padding is ignored (RFC
+    1952 §2.3.1.2), any other trailing garbage is a ValueError.
+
     Raises InflateTooLarge over limit; ValueError on a corrupt or
     truncated stream."""
     import zlib
 
-    d = zlib.decompressobj(wbits=31)  # gzip container only
     out = bytearray()
     try:
-        while data:
-            out.extend(d.decompress(data, limit + 1 - len(out)))
-            if len(out) > limit:
-                raise InflateTooLarge(f"decompressed body exceeds {limit} bytes")
-            data = d.unconsumed_tail
-            if d.eof:
+        while True:
+            d = zlib.decompressobj(wbits=31)  # gzip container only
+            while data:
+                out.extend(d.decompress(data, limit + 1 - len(out)))
+                if len(out) > limit:
+                    raise InflateTooLarge(f"decompressed body exceeds {limit} bytes")
+                data = d.unconsumed_tail
+                if d.eof:
+                    break
+            out.extend(d.flush())
+            if not d.eof:
+                raise ValueError("truncated gzip stream")
+            # next member, zero padding, or garbage
+            data = d.unused_data.lstrip(b"\x00")
+            if not data:
                 break
-        out.extend(d.flush())
     except zlib.error as e:
         raise ValueError(f"bad gzip stream: {e}") from e
-    if not d.eof:
-        raise ValueError("truncated gzip stream")
     if len(out) > limit:
         raise InflateTooLarge(f"decompressed body exceeds {limit} bytes")
     return bytes(out)
+
+
+def percent_encode_message(msg: str) -> str:
+    """gRPC ``grpc-message`` percent-encoding (gRPC HTTP/2 spec,
+    "Status-Message"): UTF-8 bytes outside 0x20-0x7E — and ``%``
+    itself — become %XX, leaving the value pure ASCII, so it is always
+    HPACK/latin-1 encodable regardless of the error text."""
+    out = []
+    for b in msg.encode("utf-8"):
+        if 0x20 <= b <= 0x7E and b != 0x25:
+            out.append(chr(b))
+        else:
+            out.append(f"%{b:02X}")
+    return "".join(out)
 
 
 def encode_frame(message: bytes, compress: bool = False) -> bytes:

@@ -347,6 +347,93 @@ def hpack_encode(headers: list[tuple[str, str]]) -> bytes:
     return bytes(out)
 
 
+def huffman_encode(data: bytes) -> bytes:
+    """RFC 7541 §5.2 Huffman encoding (pad with EOS-prefix 1-bits)."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for b in data:
+        code, n = HUFF[b]
+        acc = (acc << n) | code
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+    if nbits:
+        pad = 8 - nbits
+        out.append(((acc << pad) | ((1 << pad) - 1)) & 0xFF)
+    return bytes(out)
+
+
+class HpackIndexingEncoder:
+    """Stateful request-side HPACK encoder emitting the representations
+    a stock client's encoder uses: indexed fields for static/dynamic
+    hits, literal WITH incremental indexing (dynamic-table insertion)
+    on first sight, and Huffman string literals when shorter — so the
+    server decoder's dynamic-table and Huffman paths are exercised by
+    live traffic (``H2UnaryClient(indexing=True)``), not only by the
+    RFC 7541 Appendix C vectors."""
+
+    def __init__(self, max_size: int = 4096):
+        self.max_size = max_size
+        self.dyn: list[tuple[str, str]] = []  # most recent first
+
+    def _dyn_size(self) -> int:
+        return sum(len(n) + len(v) + 32 for n, v in self.dyn)
+
+    def _evict(self) -> None:
+        while self.dyn and self._dyn_size() > self.max_size:
+            self.dyn.pop()
+
+    @staticmethod
+    def _string(raw: bytes) -> bytes:
+        enc = huffman_encode(raw)
+        if len(enc) < len(raw):
+            return _int_encode(len(enc), 7, 0x80) + enc
+        return _int_encode(len(raw), 7) + raw
+
+    def encode(self, headers: list[tuple[str, str]]) -> bytes:
+        out = bytearray()
+        for name, value in headers:
+            hit = next(
+                (
+                    i + 1
+                    for i, (n, v) in enumerate(STATIC_TABLE)
+                    if n == name and v == value
+                ),
+                None,
+            )
+            if hit is None:
+                d = next(
+                    (
+                        i
+                        for i, (n, v) in enumerate(self.dyn)
+                        if n == name and v == value
+                    ),
+                    None,
+                )
+                if d is not None:
+                    hit = len(STATIC_TABLE) + 1 + d
+            if hit is not None:
+                out += _int_encode(hit, 7, 0x80)  # indexed field
+                continue
+            name_idx = next(
+                (i + 1 for i, (n, _) in enumerate(STATIC_TABLE) if n == name), None
+            )
+            if name_idx is None:
+                d = next((i for i, (n, _) in enumerate(self.dyn) if n == name), None)
+                if d is not None:
+                    name_idx = len(STATIC_TABLE) + 1 + d
+            out += _int_encode(name_idx or 0, 6, 0x40)  # incremental indexing
+            if not name_idx:
+                out += self._string(name.encode("latin-1"))
+            out += self._string(value.encode("latin-1"))
+            self.dyn.insert(0, (name, value))
+            self._evict()
+        return bytes(out)
+
+
 # ------------------------------------------------------------- framing
 
 
@@ -398,6 +485,21 @@ class _StreamState:
         self.end_stream = False
 
 
+def _strip_padding(payload: bytes, flags: int) -> bytes:
+    """Strip the PADDED fields of a HEADERS/DATA payload, validating
+    the pad length: pad >= the remaining payload is a PROTOCOL_ERROR
+    (RFC 7540 §6.1/§6.2), not a silent empty/mis-sliced fragment."""
+    if not flags & FL_PADDED:
+        return payload
+    if not payload:
+        raise H2Error("PADDED frame with empty payload")
+    pad = payload[0]
+    body = payload[1:]
+    if pad > len(body):
+        raise H2Error("pad length exceeds frame payload")
+    return body[: len(body) - pad]
+
+
 def serve_grpc_h2c(api, host: str = "127.0.0.1", port: int = 0):
     """Start the h2c gRPC front for ``TraceService/Export`` on its own
     port (the reference runs tonic beside axum the same way,
@@ -442,13 +544,10 @@ def serve_grpc_h2c(api, host: str = "127.0.0.1", port: int = 0):
                     streams.pop(sid, None)
                 elif ftype == F_HEADERS:
                     st = streams.setdefault(sid, _StreamState())
-                    body = payload
-                    if flags & FL_PADDED:
-                        pad = body[0]
-                        body = body[1:]
-                        if pad:
-                            body = body[:-pad]
+                    body = _strip_padding(payload, flags)
                     if flags & FL_PRIORITY:
+                        if len(body) < 5:
+                            raise H2Error("HEADERS too short for priority fields")
                         body = body[5:]
                     st.header_frags += body
                     st.end_stream = st.end_stream or bool(flags & FL_END_STREAM)
@@ -488,13 +587,7 @@ def serve_grpc_h2c(api, host: str = "127.0.0.1", port: int = 0):
                     st = streams.get(sid)
                     if st is None or not st.headers_done:
                         raise H2Error("DATA before HEADERS")
-                    body = payload
-                    if flags & FL_PADDED:
-                        pad = body[0]
-                        body = body[1:]
-                        if pad:
-                            body = body[:-pad]
-                    st.body += body
+                    st.body += _strip_padding(payload, flags)
                     if len(st.body) > grpc_adapter.MAX_MESSAGE + 65536:
                         # bounce before buffering more (same pre-read
                         # cap as the HTTP/1.1 carrier); the stream's
@@ -542,7 +635,12 @@ def serve_grpc_h2c(api, host: str = "127.0.0.1", port: int = 0):
                 sock.sendall(frame(F_DATA, 0, sid, body[i : i + MAX_FRAME]))
             trailers = [("grpc-status", str(code))]
             if msg:
-                trailers.append(("grpc-message", msg))
+                # percent-encoded per the gRPC HTTP/2 spec — also keeps
+                # hpack_encode's latin-1 encoding from raising (and
+                # killing the session thread) on a non-latin-1 message
+                trailers.append(
+                    ("grpc-message", grpc_adapter.percent_encode_message(msg))
+                )
             sock.sendall(
                 frame(
                     F_HEADERS, FL_END_HEADERS | FL_END_STREAM, sid,
@@ -570,11 +668,15 @@ class H2UnaryClient:
     trailers). Used by the in-repo round-trip tests; grpcio itself is
     not installable in this image (probe in tests/test_http2.py)."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int, indexing: bool = False):
         self.sock = socket.create_connection((host, port), timeout=30)
         self.sock.sendall(PREFACE)
         self.sock.sendall(frame(F_SETTINGS, 0, 0, b""))
         self.decoder = HpackDecoder()
+        # indexing=True: stateful encoder emitting dynamic-table
+        # insertions + Huffman strings (what stock clients send) —
+        # exercises the server decoder's dynamic path with traffic
+        self._encoder = HpackIndexingEncoder() if indexing else None
         self._next_stream = 1
 
     def call(
@@ -595,9 +697,12 @@ class H2UnaryClient:
         ]
         if encoding != "identity":
             headers.append(("grpc-encoding", encoding))
-        self.sock.sendall(
-            frame(F_HEADERS, FL_END_HEADERS, sid, hpack_encode(headers))
+        block = (
+            self._encoder.encode(headers)
+            if self._encoder is not None
+            else hpack_encode(headers)
         )
+        self.sock.sendall(frame(F_HEADERS, FL_END_HEADERS, sid, block))
         payload = grpc_adapter.encode_frame(message, compress=compress)
         for i in range(0, len(payload), MAX_FRAME):
             chunk = payload[i : i + MAX_FRAME]

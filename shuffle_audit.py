@@ -189,7 +189,10 @@ def audit(sf_dir: str, cpus: int, names: list[str]) -> dict:
         sw = m.get("shuffle_write_bytes", 0)
         out["queries"][name] = {
             **m,
-            "wall_s": walls.get(name),
+            # JIT-COLD single run inside the audit session — NOT a
+            # benchmark timing (BENCH_DETAIL.json carries warm sweeps);
+            # the artifact's claim is the byte columns
+            "cold_wall_s": walls.get(name),
             "driving_table": table,
             "driving_rows": nrows,
             "shuffle_bytes_per_row": round(sw / nrows, 2),

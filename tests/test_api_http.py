@@ -258,3 +258,35 @@ def test_gzip_bomb_is_413_not_oom(server):
         {"Content-Type": "application/json", "Content-Encoding": "gzip"},
     )
     assert status == 400
+
+
+def test_oversized_post_bounce_closes_connection(server):
+    """r4 advice: a 413 sent without draining the body must close the
+    connection — otherwise a keep-alive client's unread body bytes get
+    parsed as the next request line (garbage 400s)."""
+    import socket as _socket
+
+    base, _api = server
+    host, port = base.replace("http://", "").split(":")
+    sock = _socket.create_connection((host, int(port)), timeout=10)
+    body_decl = 20 * 1024 * 1024
+    req = (
+        f"POST /v1/traces HTTP/1.1\r\nHost: x\r\n"
+        f"Connection: keep-alive\r\nContent-Type: application/json\r\n"
+        f"Content-Length: {body_decl}\r\n\r\n"
+    ).encode() + b"GET /not-a-request HTTP/1.1\r\n\r\n"
+    sock.sendall(req)
+    sock.settimeout(10)
+    data = b""
+    while True:
+        try:
+            got = sock.recv(65536)
+        except TimeoutError:
+            raise AssertionError("server kept the desynced connection open")
+        if not got:
+            break
+        data += got
+    sock.close()
+    # exactly ONE response — the 413 — and no second (garbage) response
+    assert data.split(b"\r\n", 1)[0].endswith(b"413 Request Entity Too Large") or b" 413 " in data.split(b"\r\n", 1)[0] + b" "
+    assert data.count(b"HTTP/1.") == 1

@@ -178,3 +178,25 @@ def test_grpc_front_rejects_oversized_content_length(spark, stores):
         conn.close()
     finally:
         srv.shutdown()
+
+
+def test_gunzip_bounded_multi_member_and_padding():
+    """RFC 1952: multi-member streams concatenate; trailing NUL padding
+    is ignored; other trailing garbage is an error (r4 advice: the
+    first-member break silently truncated valid multi-member input)."""
+    two = gzip.compress(b"hello ", mtime=0) + gzip.compress(b"world", mtime=0)
+    assert g.gunzip_bounded(two, 100) == b"hello world"
+    assert g.gunzip_bounded(two + b"\x00\x00\x00", 100) == b"hello world"
+    with pytest.raises(ValueError):
+        g.gunzip_bounded(two + b"trailing-garbage", 100)
+    # the cumulative limit applies across members
+    with pytest.raises(g.InflateTooLarge):
+        g.gunzip_bounded(two, 8)
+
+
+def test_percent_encode_message():
+    assert g.percent_encode_message("plain ascii msg") == "plain ascii msg"
+    assert g.percent_encode_message("100%") == "100%25"
+    enc = g.percent_encode_message("café\n")
+    assert enc == "caf%C3%A9%0A"
+    assert enc.encode("latin-1")  # always hpack-encodable
