@@ -1,26 +1,44 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+"""Multimodal columns: opaque binary payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-The real decode (image/audio/video libraries) is NOT available in this
-container, so the decode kernel is stubbed two ways:
+Two operator families over the media table shape
+(doc_id, media_type, payload binary):
 
-- ``decode_stub="fake"`` (default): a deterministic fake that derives
-  "features" from the payload bytes — real Spark plumbing (schema,
-  partitioning, Arrow batch shapes) with fake math, so the pipeline is
-  fully testable;
-- ``decode_stub="raise"``: the production placeholder that raises
-  ``NotImplementedError`` where a real ``PIL.Image.open`` /
-  ``torchaudio.load`` call would go.
+1. ``extract_features`` — byte-level features over ANY payload
+   (lengths, integer byte sums, 8-bucket byte histogram), fully
+   vectorized over the whole Arrow batch. This is the
+   format-agnostic fallback a pipeline runs on payloads it cannot
+   (or chooses not to) decode.
 
-The Spark-side shape is exactly what a production multimodal pipeline
-needs: binary column in, fixed-size feature struct out, one Arrow
-batch at a time, no per-row Python calls outside the vectorized
-numpy section, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
-bounding executor memory per batch.
+2. ``decode_media_features`` — REAL format decode, stdlib-only,
+   the same way ``http2.py`` replaced the missing gRPC runtime with
+   spec work (no PIL/torchaudio/ffmpeg in this image):
+
+   - PNG: hand-rolled chunk walk (signature, IHDR, IDAT, CRC-checked)
+     + ``zlib.decompress`` + full per-scanline UNFILTERING — None /
+     Sub / Up / Average / Paeth per the PNG spec (RFC 2083 §6); the
+     fixture encoder cycles all five filter types so the decoder's
+     whole filter matrix is exercised.
+   - WAV: RIFF chunk walk (fmt + data), 16-bit PCM mono.
+
+   The fixture generator (``synth_media``) produces REAL encoded
+   bytes whose pixel/sample content follows a closed form in doc_id,
+   so the DuckDB oracle recomputes the expected statistics from the
+   closed form while Spark actually decodes the bytes — a hash match
+   proves the encode→decode round trip bit-exactly.
+
+Per-payload decode is inherently per-row (a zlib stream is one
+object), exactly like a real PIL/ffmpeg call; the Arrow batch bounds
+memory (``spark.sql.execution.arrow.maxRecordsPerBatch``) and all
+pixel/sample math is numpy over the decoded buffers. The scanline
+unfilter walks pixels sequentially where the spec demands it (Sub /
+Average / Paeth depend on the reconstructed left neighbor).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -50,31 +68,21 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow batches).
+def extract_features(media: DataFrame) -> DataFrame:
+    """Format-agnostic byte features via mapInPandas (Arrow batches).
 
-    Batch shape: pdf.payload is a pandas Series of bytes; the fake
-    decode does vectorized numpy over the byte buffers. A real decoder
-    drops in at the marked call site without touching the plumbing.
-    """
+    Batch shape: pdf.payload is a pandas Series of bytes; one
+    vectorized numpy pass over the WHOLE batch — all payloads
+    concatenated into a single byte buffer, per-row segments addressed
+    by offsets (reduceat for sums, one global bincount for every
+    row's histogram at once). No per-row Python."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "raise":
-                raise NotImplementedError(
-                    "real media decode (PIL/torchaudio/ffmpeg) is not "
-                    "available in this environment"
-                )
-            # One vectorized pass over the WHOLE batch: all payloads
-            # concatenated into a single byte buffer, per-row segments
-            # addressed by offsets (reduceat for sums, one global
-            # bincount for every row's histogram at once). No per-row
-            # Python; a real decoder replaces the marked section.
             n = len(pdf)
             lens = pdf["payload"].map(len).to_numpy(dtype=np.int64)
             buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            # --- real decoder goes here (PIL.Image.open etc.) ---
             widths = np.maximum(1, np.sqrt(lens).astype(np.int64))
             heights = np.maximum(1, lens // widths)
             # exact integer byte sums (the hash-verifiable quantity the
@@ -133,7 +141,7 @@ FROM documents
 
 def media_feature_summary(documents: DataFrame) -> DataFrame:
     """documents → media adapter → feature extraction → per-type
-    aggregate (the end-to-end multimodal flow).
+    aggregate (the end-to-end byte-feature flow).
 
     Every output column is exact-integer math (integer sums are
     order-independent across partitions; the intensity ratio is a
@@ -168,5 +176,344 @@ FROM (
          coalesce(list_sum([ascii(c) for c in string_split(text, '')]), 0) AS intensity_sum
   FROM documents
 ) t
+GROUP BY media_type ORDER BY media_type
+"""
+
+
+# ------------------------------------------------------------ PNG codec
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §6.6): nearest of left/up/up-left to
+    the linear estimate, ties broken left → up → up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pix: np.ndarray) -> bytes:
+    """Grayscale 8-bit PNG encoder (stdlib zlib + struct). The filter
+    type CYCLES per scanline (y % 5) so decoding the output exercises
+    every filter in the spec, not just None."""
+    h, w = pix.shape
+    pix = pix.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = pix[y]
+        t = y % 5
+        left = np.concatenate(([0], row[:-1]))
+        if t == 0:
+            f = row
+        elif t == 1:
+            f = row - left
+        elif t == 2:
+            f = row - prev
+        elif t == 3:
+            f = row - (left + prev) // 2
+        else:
+            ul = np.concatenate(([0], prev[:-1]))
+            f = row - np.array(
+                [_paeth(int(left[x]), int(prev[x]), int(ul[x])) for x in range(w)],
+                dtype=np.int64,
+            )
+        raw.append(t)
+        raw += (f % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Grayscale 8-bit PNG decoder: chunk walk with CRC verification,
+    zlib inflate, and the full five-filter unfilter matrix. Raises
+    ValueError on any malformed structure."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    i = 8
+    idat = bytearray()
+    w = h = None
+    while i < len(data):
+        if i + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        if len(body) != length or i + 12 + length > len(data):
+            raise ValueError("truncated chunk body")
+        (crc,) = struct.unpack_from(">I", data, i + 8 + length)
+        if crc != zlib.crc32(ctype + body) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        i += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, ctype_px, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if (depth, ctype_px, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise ValueError("unsupported PNG variant (need gray-8, no interlace)")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline data size mismatch")
+    out = np.empty((h, w), dtype=np.int64)
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        t = raw[y * (w + 1)]
+        f = np.frombuffer(raw, dtype=np.uint8, count=w, offset=y * (w + 1) + 1).astype(
+            np.int64
+        )
+        if t == 0:
+            row = f
+        elif t == 2:
+            row = (f + prev) % 256
+        elif t in (1, 3, 4):
+            # Sub/Average/Paeth depend on the RECONSTRUCTED left pixel
+            # → sequential in x by spec
+            row = np.empty(w, dtype=np.int64)
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                up = int(prev[x])
+                ul = int(prev[x - 1]) if x else 0
+                if t == 1:
+                    row[x] = (f[x] + left) % 256
+                elif t == 3:
+                    row[x] = (f[x] + (left + up) // 2) % 256
+                else:
+                    row[x] = (f[x] + _paeth(left, up, ul)) % 256
+        else:
+            raise ValueError(f"unknown filter type {t}")
+        out[y] = row
+        prev = out[y]
+    return int(w), int(h), out
+
+
+# ------------------------------------------------------------ WAV codec
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """16-bit PCM mono WAV (RIFF) encoder, stdlib struct only."""
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF chunk walk → (sample_rate, int16 samples). Raises
+    ValueError on malformed structure or non-PCM-16-mono content."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE header")
+    (riff_len,) = struct.unpack_from("<I", data, 4)
+    if riff_len != len(data) - 8:
+        raise ValueError("RIFF size mismatch")
+    i = 12
+    rate = None
+    pcm = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (clen,) = struct.unpack_from("<I", data, i + 4)
+        body = data[i + 8 : i + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated RIFF chunk")
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("unsupported WAV variant (need PCM-16 mono)")
+        elif cid == b"data":
+            pcm = body
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return int(rate), np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+
+
+# --------------------------------------------- synthetic media fixtures
+
+#: closed-form content parameters — the SAME formulas the DuckDB
+#: oracle recomputes (decode_media_features_sql), so a value-hash
+#: match proves the encode→decode round trip recovered every pixel
+#: and sample exactly
+PNG_W = "4 + doc_id % 13"   # ≤ 16
+PNG_H = "3 + doc_id % 11"   # ≤ 13
+PNG_PX = "(x + 7 * y + doc_id) % 256"
+WAV_N = "8 + doc_id % 50"   # ≤ 57
+WAV_V = "(31 * doc_id + 17 * i) % 65536"  # stored as v - 32768 (int16)
+WAV_RATE = 8000
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL media bytes per document: even doc_id → a
+    grayscale PNG (filter types cycling over all five), odd → a 16-bit
+    PCM WAV. Pixel/sample values follow the closed forms above."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            types = []
+            for d in pdf["doc_id"].to_numpy():
+                d = int(d)
+                if d % 2 == 0:
+                    w, h = 4 + d % 13, 3 + d % 11
+                    xs = np.arange(w)[None, :]
+                    ys = np.arange(h)[:, None]
+                    payloads.append(encode_png((xs + 7 * ys + d) % 256))
+                    types.append("image/png")
+                else:
+                    n = 8 + d % 50
+                    v = (31 * d + 17 * np.arange(n)) % 65536
+                    payloads.append(encode_wav(v - 32768, WAV_RATE))
+                    types.append("audio/wav")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        kernel, "doc_id long, media_type string, payload binary"
+    )
+
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "n_units long, value_sum long, value_min int, value_max int"
+)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode + integer statistics, one narrow Arrow pass:
+    PNG → (width, height, pixel sum/min/max over w·h units);
+    WAV → (n_samples as width, height 1, stats over samples+32768).
+    All-integer outputs so the oracle check is exact."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "media_type", "width", "height",
+                "n_units", "value_sum", "value_min", "value_max",
+            )}
+            for d, mt, payload in zip(
+                pdf["doc_id"].to_numpy(), pdf["media_type"], pdf["payload"]
+            ):
+                if mt == "image/png":
+                    w, h, pix = decode_png(bytes(payload))
+                    vals = pix.reshape(-1)
+                    width, height = w, h
+                else:
+                    _rate, samples = decode_wav(bytes(payload))
+                    vals = samples + 32768
+                    width, height = len(samples), 1
+                rows["doc_id"].append(int(d))
+                rows["media_type"].append(mt)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["n_units"].append(int(vals.size))
+                rows["value_sum"].append(int(vals.sum()))
+                rows["value_min"].append(int(vals.min()))
+                rows["value_max"].append(int(vals.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def decoded_media_features(documents: DataFrame) -> DataFrame:
+    """documents → synthetic REAL media bytes → real decode → exact
+    integer per-document stats (two narrow passes, zero exchange)."""
+    return decode_media_features(synth_media(documents))
+
+
+def decoded_media_features_sql() -> str:
+    """Closed-form replay: the oracle never sees the bytes — it
+    recomputes what the pixels/samples MUST be; equality proves the
+    encode→decode round trip."""
+    return f"""
+WITH png AS (
+  SELECT doc_id, CAST({PNG_W} AS INT) AS w, CAST({PNG_H} AS INT) AS h
+  FROM documents WHERE doc_id % 2 = 0
+), png_vals AS (
+  SELECT doc_id, w, h, (xx.i + 7 * yy.i + doc_id) % 256 AS v
+  FROM png, range(0, 16) xx(i), range(0, 13) yy(i)
+  WHERE xx.i < w AND yy.i < h
+), png_feat AS (
+  SELECT doc_id, 'image/png' AS media_type,
+         min(w) AS width, min(h) AS height,
+         count(*) AS n_units, CAST(sum(v) AS BIGINT) AS value_sum,
+         CAST(min(v) AS INT) AS value_min, CAST(max(v) AS INT) AS value_max
+  FROM png_vals GROUP BY doc_id
+), wav AS (
+  SELECT doc_id, CAST({WAV_N} AS INT) AS n FROM documents WHERE doc_id % 2 = 1
+), wav_vals AS (
+  SELECT doc_id, n, (31 * doc_id + 17 * ii.i) % 65536 AS v
+  FROM wav, range(0, 58) ii(i) WHERE ii.i < n
+), wav_feat AS (
+  SELECT doc_id, 'audio/wav' AS media_type,
+         min(n) AS width, 1 AS height,
+         count(*) AS n_units, CAST(sum(v) AS BIGINT) AS value_sum,
+         CAST(min(v) AS INT) AS value_min, CAST(max(v) AS INT) AS value_max
+  FROM wav_vals GROUP BY doc_id
+)
+SELECT * FROM png_feat UNION ALL SELECT * FROM wav_feat
+"""
+
+
+def decoded_media_summary(documents: DataFrame) -> DataFrame:
+    """Per-media-type rollup of the decoded statistics — integer-exact
+    end to end (sum/min/max of ints; the per-unit ratio is a
+    floor-scaled integer over group totals)."""
+    return (
+        decoded_media_features(documents)
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_units").alias("total_units"),
+            F.sum("value_sum").alias("total_value"),
+            F.min("value_min").alias("min_value"),
+            F.max("value_max").alias("max_value"),
+            F.expr(
+                "CAST(floor(1000000.0 * sum(value_sum) / sum(n_units)) AS BIGINT)"
+            ).alias("value_per_unit_u"),
+        )
+        .orderBy("media_type")
+    )
+
+
+def decoded_media_summary_sql() -> str:
+    return f"""
+SELECT media_type, count(*) AS n_docs,
+       CAST(sum(n_units) AS BIGINT) AS total_units,
+       CAST(sum(value_sum) AS BIGINT) AS total_value,
+       CAST(min(value_min) AS INT) AS min_value,
+       CAST(max(value_max) AS INT) AS max_value,
+       CAST(floor(1000000.0 * sum(value_sum) / sum(n_units)) AS BIGINT) AS value_per_unit_u
+FROM ({decoded_media_features_sql()}) t
 GROUP BY media_type ORDER BY media_type
 """

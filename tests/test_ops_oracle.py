@@ -122,11 +122,6 @@ def test_multimodal_plumbing(spark, docs):
     assert all(r.n_bytes > 0 for r in rows)
     summary = mm.media_feature_summary(docs).collect()
     assert {r.media_type for r in summary} == {"image/png", "audio/wav"}
-    # the "raise" stub is the documented production placeholder
-    import pytest as _pytest
-
-    with _pytest.raises(Exception):
-        mm.extract_features(mm.documents_as_media(docs), decode_stub="raise").collect()
 
 
 def test_connected_components_chain_and_cycles(spark):
