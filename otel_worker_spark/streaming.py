@@ -628,3 +628,162 @@ def range_join_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def funnel_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap_s: int = 1800,
+    query_name: str = "stream_funnel",
+    max_files_per_trigger: int | None = None,
+):
+    """Watermark-bounded streaming funnel — the stateful twin of
+    ``ops.timeseries.funnel`` with DOCUMENTED bounded-state semantics
+    (closes the r4 "streaming funnel deliberately skipped" item).
+
+    Why not the global batch funnel verbatim: it is NOT computable
+    with bounded state under unbounded reordering — a stage event may
+    arrive arbitrarily late and rewrite an already-emitted chain (the
+    recorded r4 analysis). The streaming form therefore scopes each
+    chain to a gap-closed ACTIVITY WINDOW per user:
+
+    - while a window is open, its funnel-stage events are BUFFERED in
+      state (state is bounded by the window's own stage events, never
+      by stream length; non-stage events only extend the activity
+      span);
+    - the window closes when a later event arrives more than
+      ``gap_s`` after the window's max ts (in-batch gap), or when the
+      event-time watermark passes ``max_ts + gap_s`` (timeout);
+    - at close the buffer is SORTED by (ts, event_type) and folded
+      with the exact batch chain logic — so any reordering WITHIN the
+      window (above the watermark) is corrected at close, and the fold
+      is bit-identical to the batch ``aggregate`` HOF;
+    - windows with no stage events are not emitted.
+
+    Late-data caveat (the semantic delta vs batch, stated, not
+    hidden): an event below the watermark — later than ``gap_s`` past
+    its window — is dropped by Spark and cannot resurrect the window.
+    On in-watermark data the result equals the batch funnel
+    restricted to each activity window (pytest-proven: with a gap
+    spanning each user's full history, stream chains == batch
+    chains exactly).
+
+    Scale shape: one hash exchange on user_id into Arrow-batched
+    per-group kernels; state O(open windows × window stage events).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ twins)
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .ops.timeseries import FUNNEL_STAGES
+
+    s0, s1, s2 = FUNNEL_STAGES
+    EVENTS_SCHEMA = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    out_schema = (
+        "user_id long, window_start timestamp, window_end timestamp, "
+        "t_signup_us long, t_click_us long, t_purchase_us long, depth int"
+    )
+    # buffered stage events as parallel arrays + activity span
+    state_schema = "wstart long, last long, uss array<long>, types array<string>"
+    gap_us = gap_s * 1_000_000
+
+    def _fold(state_tuple):
+        wstart, last, uss, types = state_tuple
+        if not len(uss):
+            return None  # no stage events in the window → not emitted
+        chain = [None, None, None]
+        for us, etype in sorted(zip(uss, types)):
+            if etype == s0 and chain[0] is None:
+                chain[0] = us
+            elif etype == s1 and chain[0] is not None and chain[1] is None and us > chain[0]:
+                chain[1] = us
+            elif etype == s2 and chain[1] is not None and chain[2] is None and us > chain[1]:
+                chain[2] = us
+        return {
+            "window_start": pd.Timestamp(wstart, unit="us"),
+            "window_end": pd.Timestamp(last, unit="us"),
+            "t_signup_us": chain[0],
+            "t_click_us": chain[1],
+            "t_purchase_us": chain[2],
+            "depth": sum(v is not None for v in chain),
+        }
+
+    def kernel(key, batches, state: GroupState):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                got = _fold(tuple(state.get))
+                if got:
+                    closed.append(got)
+                state.remove()
+        else:
+            events = pd.concat(list(batches), ignore_index=True)
+            events = events.sort_values(["ts", "event_id"])
+            cur = None
+            if state.exists:
+                wstart, last, uss, types = state.get
+                cur = (wstart, last, list(uss), list(types))
+            for ts_val, etype in zip(events["ts"], events["event_type"]):
+                us = ts_val.value // 1000  # ns → µs
+                stage = [us] if etype in (s0, s1, s2) else []
+                tname = [etype] if stage else []
+                if cur is None:
+                    cur = (us, us, stage, tname)
+                elif us - cur[1] > gap_us:
+                    got = _fold(cur)
+                    if got:
+                        closed.append(got)
+                    cur = (us, us, stage, tname)
+                else:
+                    # (min, max) activity tracking, same rationale as
+                    # sessionize_stream: out-of-order above-watermark
+                    # events widen, never regress
+                    cur = (
+                        min(cur[0], us),
+                        max(cur[1], us),
+                        cur[2] + stage,
+                        cur[3] + tname,
+                    )
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_s * 1000)
+        if closed:
+            out = pd.DataFrame(closed)
+            out.insert(0, "user_id", user_id)
+            yield out
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.load(source_dir)
+    funnels = (
+        events.withWatermark("ts", f"{gap_s} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            kernel,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        funnels.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
