@@ -91,9 +91,25 @@ def table_rows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
 
 
-def run_queries(sf_dir: str, cpus: int, names: list[str], event_dir: str) -> dict[str, float]:
+#: forced-spill probe (r4 verdict item 4): the sf0.1 audit shows zero
+#: spill everywhere, which means the spill paths were UNTESTED. The
+#: probe reruns one wide op (sessionize: a window whose per-user
+#: groups hold ~100 rows) with a tiny in-memory window buffer
+#: (``spark.sql.windowExec.buffer.spill.threshold`` — a dynamic SQL
+#: conf driving the real UnsafeExternalSorter spill machinery), checks
+#: the result is unchanged, and attributes the spilled bytes under
+#: their own job group in the event log.
+SPILL_PROBE_QUERY = "rel_sessionize"
+SPILL_PROBE_GROUP = "spill_probe"
+SPILL_THRESHOLD_ROWS = 32
+
+
+def run_queries(
+    sf_dir: str, cpus: int, names: list[str], event_dir: str
+) -> tuple[dict[str, float], dict]:
     """Execute each registry query under its own job group; returns
-    per-query wall seconds (context only — bytes are the product)."""
+    (per-query wall seconds — context only, bytes are the product —
+    and the forced-spill probe's correctness verdict)."""
     from otel_worker_spark.session import get_spark
 
     spark = get_spark(
@@ -110,18 +126,46 @@ def run_queries(sf_dir: str, cpus: int, names: list[str], event_dir: str) -> dic
 
     queries = entry.queries()
     walls: dict[str, float] = {}
+    probe: dict = {}
     try:
+        sc = spark.sparkContext
         for name in names:
             fn = queries[name]
-            sc = spark.sparkContext
             sc.setJobGroup(name, name, interruptOnCancel=False)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             walls[name] = round(time.perf_counter() - t0, 3)
             print(f"  {name}: {walls[name]} s", file=sys.stderr)
+        # ---- forced-spill probe -------------------------------------
+        fn = queries[SPILL_PROBE_QUERY]
+        sc.setJobGroup(f"{SPILL_PROBE_GROUP}_base", "unthresholded control")
+        base = sorted(map(str, fn(spark, sf_dir).collect()))
+        # BOTH thresholds: in.memory.threshold converts the plain row
+        # array to an UnsafeExternalSorter, spill.threshold then force-
+        # spills that sorter to disk (with only the latter set, buffers
+        # under the 4096-row default never convert and nothing spills)
+        spark.conf.set(
+            "spark.sql.windowExec.buffer.in.memory.threshold",
+            str(SPILL_THRESHOLD_ROWS // 2),
+        )
+        spark.conf.set(
+            "spark.sql.windowExec.buffer.spill.threshold",
+            str(SPILL_THRESHOLD_ROWS),
+        )
+        try:
+            sc.setJobGroup(SPILL_PROBE_GROUP, "forced-spill window run")
+            spilled = sorted(map(str, fn(spark, sf_dir).collect()))
+        finally:
+            spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+            spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+        probe = {
+            "query": SPILL_PROBE_QUERY,
+            "buffer_threshold_rows": SPILL_THRESHOLD_ROWS,
+            "rows_match_unthresholded": base == spilled,
+        }
     finally:
         spark.stop()
-    return walls
+    return walls, probe
 
 
 def parse_event_log(event_dir: str) -> dict[str, dict[str, int]]:
@@ -178,10 +222,16 @@ def parse_event_log(event_dir: str) -> dict[str, dict[str, int]]:
 
 def audit(sf_dir: str, cpus: int, names: list[str]) -> dict:
     event_dir = tempfile.mkdtemp(prefix="spark-events-")
-    walls = run_queries(sf_dir, cpus, names, event_dir)
+    walls, probe = run_queries(sf_dir, cpus, names, event_dir)
     metrics = parse_event_log(event_dir)
     rows_cache = {t: table_rows(sf_dir, t) for t in {driving_table(n) for n in names}}
     out = {"sf_dir": sf_dir, "cpus": cpus, "target_rows": TARGET_ROWS, "queries": {}}
+    probe_metrics = metrics.get(SPILL_PROBE_GROUP, {})
+    out["spill_probe"] = {
+        **probe,
+        "spill_disk_bytes": probe_metrics.get("spill_disk_bytes", 0),
+        "spill_memory_bytes": probe_metrics.get("spill_memory_bytes", 0),
+    }
     for name in names:
         m = metrics.get(name, {})
         table = driving_table(name)
