@@ -386,3 +386,73 @@ def test_grpc_message_trailer_percent_encoded(spark, tmp_root):
         client.close()
     finally:
         srv.shutdown()
+
+
+def test_h2c_padded_frames_round_trip(spark, tmp_root):
+    """Valid PADDED HEADERS + DATA frames must unpad and round-trip;
+    a pad length >= payload must kill the connection as a protocol
+    error (RFC 7540 §6.1/§6.2) instead of mis-slicing."""
+    stores = PipelineStores(spark, tmp_root + "/stores")
+    api = TraceApi(spark, stores, service_lookup_df(spark))
+    srv = h2.serve_grpc_h2c(api)
+    host, port = srv.server_address
+    try:
+        import socket as _socket
+
+        sock = _socket.create_connection((host, port), timeout=30)
+        sock.sendall(h2.PREFACE)
+        sock.sendall(h2.frame(h2.F_SETTINGS, 0, 0, b""))
+        block = h2.hpack_encode(
+            [
+                (":method", "POST"), (":scheme", "http"),
+                (":path", g.EXPORT_PATH), (":authority", "localhost"),
+                ("content-type", "application/grpc"),
+            ]
+        )
+        # HEADERS with 3 bytes of padding
+        sock.sendall(
+            h2.frame(
+                h2.F_HEADERS, h2.FL_END_HEADERS | h2.FL_PADDED, 1,
+                bytes([3]) + block + b"\x00\x00\x00",
+            )
+        )
+        body = g.encode_frame(_export_bytes())
+        sock.sendall(
+            h2.frame(
+                h2.F_DATA, h2.FL_END_STREAM | h2.FL_PADDED, 1,
+                bytes([5]) + body + b"\x00" * 5,
+            )
+        )
+        trailers = None
+        dec = h2.HpackDecoder()
+        while trailers is None:
+            got = h2.read_frame(sock)
+            assert got is not None
+            ftype, flags, sid, payload = got
+            if ftype == h2.F_HEADERS and sid == 1:
+                decoded = dict(dec.decode(payload))
+                if flags & h2.FL_END_STREAM:
+                    trailers = decoded
+        assert trailers["grpc-status"] == "0"
+
+        # second connection: pad >= payload → connection must drop
+        bad = _socket.create_connection((host, port), timeout=10)
+        bad.sendall(h2.PREFACE)
+        bad.sendall(h2.frame(h2.F_SETTINGS, 0, 0, b""))
+        bad.sendall(
+            h2.frame(h2.F_HEADERS, h2.FL_END_HEADERS | h2.FL_PADDED, 1, bytes([200]) + block)
+        )
+        bad.settimeout(10)
+        # drain until close; no response HEADERS may arrive
+        saw_response = False
+        while True:
+            got = h2.read_frame(bad)
+            if got is None:
+                break
+            if got[0] == h2.F_HEADERS:
+                saw_response = True
+        assert not saw_response
+        bad.close()
+        sock.close()
+    finally:
+        srv.shutdown()
