@@ -1416,3 +1416,228 @@ SELECT query_id, rank, neighbor_id, cosine_u FROM (
   FROM scored
 ) t WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------ IVF+PQ (composed index)
+
+
+def _ivfpq_model(
+    embeddings: DataFrame, n_centroids: int, ksub: int, m: int
+) -> tuple["object", list["object"]]:
+    """Driver-held model for the composed index: coarse centroids =
+    the first ``n_centroids`` QUANTIZED corpus vectors; residual
+    codebooks[j] = subvector j of the first ``ksub`` corpus RESIDUALS
+    (vector minus its own coarse centroid). Deterministic (the stub
+    quantizer pattern — `kmeans_centroids`/`pq_train_codebooks` show
+    the trained forms; the novelty here is the COMPOSITION) and
+    integer-exact, so the DuckDB oracle replays it bit-for-bit."""
+    import numpy as np
+
+    need = max(n_centroids, ksub)
+    rows = (
+        embeddings.where(F.col("vec_id") < need)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in rows}
+    Q = np.stack([by_id[i] for i in range(need)])
+    Q = np.floor(1_000_000.0 * Q).astype(np.int64)
+    C = Q[:n_centroids]  # (k, dim) coarse centroids, scaled ints
+    # each seed vector's own coarse assignment (int L2, tie cent asc)
+    d2 = (
+        (Q * Q).sum(axis=1, keepdims=True)
+        - 2 * (Q @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    R = Q - C[np.argmin(d2, axis=1)]  # residual seeds
+    sub = Q.shape[1] // m
+    cbs = [np.ascontiguousarray(R[:ksub, j * sub : (j + 1) * sub]) for j in range(m)]
+    return C, cbs
+
+
+IVFPQ_CENTROIDS = N_CENTROIDS
+IVFPQ_PROBE = N_PROBE
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = IVFPQ_CENTROIDS,
+    n_probe: int = IVFPQ_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """Composed IVF+PQ index — the production ANN architecture at
+    10^12 vectors (FAISS IVFPQ shape): coarse quantizer prunes the
+    corpus to ``n_probe``/``n_centroids`` of its lists, and product-
+    quantized RESIDUALS compress what remains to ``m`` bytes/vector,
+    scanned by asymmetric distance against per-(query, probed-list)
+    lookup tables.
+
+    Scale shape: ONE narrow Arrow pass computes coarse assignment +
+    residual PQ codes for the whole corpus (the model rides inside
+    the kernel — the bytes a broadcast ships anyway; this family is
+    kernel-only because IVF+PQ *is* the above-budget configuration by
+    definition); the LUTs are a tiny driver-built frame broadcast
+    into an equi-join on cent_id (list pruning = join selectivity,
+    exactly how a real deployment reads 1/(k/probe) of the corpus);
+    the only exchange is the final per-query top-k window. Everything
+    lives in the floor-scaled int64 domain, so the DuckDB oracle
+    replays the whole index build + scan exactly.
+
+    Reference analog: none (beyond-reference training-data family,
+    beside `ivf_topk` and `pq_topk` which it composes).
+    """
+    import numpy as np
+    import pandas as pd
+
+    C, cbs = _ivfpq_model(embeddings, n_centroids, ksub, m)
+    dim = C.shape[1]
+    sub = dim // m
+    cids = np.arange(n_centroids, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _np_quantize(pdf["embedding"])
+            d2 = (
+                (Q * Q).sum(axis=1, keepdims=True)
+                - 2 * (Q @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            R = Q - C[assign]
+            codes = _np_pq_codes(R, cbs)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "cent_id": cids[assign],
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "neighbor_id long, cent_id long, codes array<int>"
+    )
+
+    # per-(query, probed list) residual LUTs — ≤ n_queries·n_probe rows
+    qrows = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in sorted(qrows, key=lambda r: int(r.vec_id)):
+        qv = np.floor(
+            1_000_000.0 * np.array(r.embedding, dtype=np.float64)
+        ).astype(np.int64)
+        qd2 = ((qv[None, :] - C) ** 2).sum(axis=1)
+        order = np.lexsort((cids, qd2))[:n_probe]  # d2 asc, cent asc
+        for cid in order:
+            qres = qv - C[cid]
+            lut = [
+                [
+                    int(((qres[j * sub : (j + 1) * sub] - cbs[j][c]) ** 2).sum())
+                    for c in range(ksub)
+                ]
+                for j in range(m)
+            ]
+            probe_rows.append((int(r.vec_id), int(cid), lut))
+    probes = embeddings.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cent_id long, lut array<array<bigint>>"
+    )
+
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
+        f" (acc, j) -> acc + lut[j][element_at(codes, j + 1)])"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(encoded, "cent_id")
+        .where(F.expr("query_id <> neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(adc).alias("adc_d2_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_u"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_d2_u")
+    )
+
+
+def ivfpq_topk_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = IVFPQ_CENTROIDS,
+    n_probe: int = IVFPQ_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> str:
+    """DuckDB twin replaying the ENTIRE composed index — quantize →
+    coarse assign → residuals → residual codebooks → codes → probes →
+    residual ADC — in exact integer math (no LUT needed oracle-side:
+    the LUT is only a precomputation of the same d2 terms)."""
+    sub_d = EMB_DIM // m
+    d2_int = _d2_int_duck("a.qv", "c.cv")
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         [CAST(floor(1000000.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS qv
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, qv AS cv FROM qv WHERE vec_id < {n_centroids}
+), assigned AS (
+  SELECT vec_id, cent_id, cv FROM (
+    SELECT a.vec_id, c.cent_id, c.cv,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {d2_int} ASC, c.cent_id ASC) AS rn
+    FROM qv a, cents c
+  ) t WHERE rn = 1
+), resid AS (
+  SELECT q.vec_id, a.cent_id,
+         [q.qv[i] - a.cv[i] for i in range(1, len(q.qv) + 1)] AS rv
+  FROM qv q JOIN assigned a USING (vec_id)
+), cb AS (
+  SELECT t.j, r.vec_id AS code,
+         r.rv[t.j * {sub_d} + 1 : t.j * {sub_d} + {sub_d}] AS c
+  FROM resid r, range(0, {m}) t(j)
+  WHERE r.vec_id < {ksub}
+), codes AS (
+  SELECT vec_id, cent_id, j, code FROM (
+    SELECT r.vec_id, r.cent_id, cb.j, cb.code,
+           row_number() OVER (
+             PARTITION BY r.vec_id, cb.j
+             ORDER BY {_d2_int_duck(f"r.rv[cb.j * {sub_d} + 1 : cb.j * {sub_d} + {sub_d}]", "cb.c")} ASC,
+                      cb.code ASC) AS rn
+    FROM resid r, cb
+  ) t WHERE rn = 1
+), probes AS (
+  SELECT query_id, cent_id, cv FROM (
+    SELECT q.vec_id AS query_id, c.cent_id, c.cv,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_d2_int_duck("q.qv", "c.cv")} ASC, c.cent_id ASC) AS rn
+    FROM qv q, cents c
+    WHERE q.vec_id < {n_queries}
+  ) t WHERE rn <= {n_probe}
+), qres AS (
+  SELECT p.query_id, p.cent_id,
+         [q.qv[i] - p.cv[i] for i in range(1, len(q.qv) + 1)] AS rv
+  FROM probes p JOIN qv q ON q.vec_id = p.query_id
+), adc AS (
+  SELECT r.query_id, c.vec_id AS neighbor_id,
+         CAST(sum({_d2_int_duck(f"r.rv[c.j * {sub_d} + 1 : c.j * {sub_d} + {sub_d}]", "cb.c")}) AS BIGINT) AS adc_d2_u
+  FROM qres r
+  JOIN codes c ON c.cent_id = r.cent_id
+  JOIN cb ON cb.j = c.j AND cb.code = c.code
+  WHERE r.query_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, adc_d2_u FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2_u ASC, neighbor_id ASC) AS rank
+  FROM adc
+) t WHERE rank <= {k}
+"""

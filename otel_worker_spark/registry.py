@@ -832,6 +832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_bigk_assign": lambda s, d: sim.ivf_assignments(
             _embs(s, d), n_centroids=64
         ),
+        # composed IVF+PQ (FAISS-shape production index: coarse prune
+        # + residual-PQ ADC), integer-exact end to end
+        "ann_ivfpq_topk": lambda s, d: sim.ivfpq_topk(_embs(s, d)),
         # REAL stdlib PNG/WAV decode (closes the last r4 stub): Spark
         # encodes real media bytes then decodes them back; the oracle
         # recomputes the closed-form pixel/sample stats — a hash match
@@ -932,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_pq_bigspace_topk": sim.pq_trained_topk_sql(m=8, ksub=32, iters=1),
         "ann_ivf_bigk_assign": sim.ivf_assignments_sql(64),
+        "ann_ivfpq_topk": sim.ivfpq_topk_sql(),
         "multimodal_decode_features": mm.decoded_media_features_sql(),
         "multimodal_decode_summary": mm.decoded_media_summary_sql(),
         "dedup_exact": dd.dedup_exact_sql(),

@@ -126,3 +126,20 @@ def test_big_geometry_matches_numpy_reference(embs):
     want = _np_reference_pq(E, m=8, ksub=64, iters=1, n_queries=8, k=5)
     got = _rows(sim.pq_trained_topk(embs, m=8, ksub=64, iters=1))
     assert got == want
+
+
+def test_ivfpq_plan_and_production_geometry(embs):
+    """Composed IVF+PQ: the serving plan must be scan → narrow Arrow
+    encode → broadcast LUT equi-join → ONE top-k exchange, and the
+    same kernel must hold at production geometry (k=64 lists, m=8,
+    ksub=64) — plan size O(1), list pruning via join selectivity."""
+    df = sim.ivfpq_topk(embs)
+    df.collect()
+    # adaptive plans print Final + Initial sections — assert on Final
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    big = sim.ivfpq_topk(embs, n_centroids=64, n_probe=8, m=8, ksub=64)
+    assert big.count() == 8 * 5
+    assert len(_plan(big)) < 20_000
