@@ -208,9 +208,10 @@ def minhash_lsh_pairs(
     n_bands: int = N_BANDS,
 ) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (fraction of matching
-    signature components), kept when est ≥ threshold (pass
-    ``threshold=0.0`` to get the raw band-bucket candidate set — the
-    input to the exact verifier).
+    signature components), kept when est ≥ threshold. ``threshold=0.0``
+    returns the raw band-bucket candidate set (doc_a, doc_b) WITHOUT
+    the estimate — the input to the exact verifier, which recomputes
+    a better score anyway.
 
     Plan shape (r2 rework, measured ~2× at the 128-perm production
     config): signatures (map, PERSISTED — three consumers) → explode
@@ -247,6 +248,13 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    if threshold <= 0.0:
+        # raw candidate set: the estimate filter keeps everything, so
+        # the two signature-carrying shuffle joins below would be pure
+        # waste — the exact verifier (verified_pairs) consumes ONLY
+        # (doc_a, doc_b), and at sf0.1 those joins were ~40% of the
+        # dedup_groups wall
+        return cand
     sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
@@ -407,11 +415,31 @@ def verified_pairs(
     unique doc_id, co-partitioned, no skew) → per-pair HOF intersect.
     No cross join anywhere; cost is O(candidates), not O(n²).
     """
-    cand = minhash_lsh_pairs(
-        documents, threshold=0.0, hash_impl=hash_impl,
-        n_perms=n_perms, n_bands=n_bands,
-    ).select("doc_a", "doc_b")
-    sh = documents.select("doc_id", shingles_expr("text", SHINGLE_K).alias("sh"))
+    from pyspark.storagelevel import StorageLevel
+
+    cand = (
+        minhash_lsh_pairs(
+            documents, threshold=0.0, hash_impl=hash_impl,
+            n_perms=n_perms, n_bands=n_bands,
+        )
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # read 3× below (ids + join)
+    )
+    _PERSISTED_SIGS.append(cand)
+    # shingle sets are heavy (≈1 KB string arrays per doc) — compute
+    # them ONLY for candidate participants (a semi-join against the
+    # tiny persisted pair set), and once, not once per join side
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        documents.join(ids, "doc_id", "left_semi")
+        .select("doc_id", shingles_expr("text", SHINGLE_K).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED_SIGS.append(sh)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = "size(array_intersect(sh_a, sh_b))"
@@ -506,8 +534,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
 
     prev = sig(e)
     for _ in range(max_iterations):
-        e = round_edges(e, large=True).localCheckpoint(eager=True)
-        e = round_edges(e, large=False).localCheckpoint(eager=True)
+        # one checkpoint per FULL round: the two-star lineage is
+        # bounded, and the per-round action count (the wall-clock
+        # driver at small edge sets) drops from 3 jobs to 2
+        e = round_edges(round_edges(e, large=True), large=False).localCheckpoint(
+            eager=True
+        )
         cur = sig(e)
         if cur == prev:
             break
