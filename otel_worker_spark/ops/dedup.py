@@ -103,6 +103,39 @@ def _hashes_duck_sql() -> str:
     return f"[{hash31_sql('s')} for s in {_shingles_duck_sql()}]"
 
 
+#: above this permutation count the signature fold runs as a numpy
+#: Arrow kernel instead of Catalyst HOFs: the fold is P × |shingles|
+#: integer ops per doc, and at the 128-perm production config the
+#: interpreted transform/array_min chain dominated the stage (~2.5×
+#: measured at sf0.1). Identical int64 math either way — the oracle
+#: configs (P=16, md5) stay on the Catalyst path.
+MINHASH_FOLD_KERNEL_PERMS = 32
+
+
+def _minhash_fold_arrow(hashed: DataFrame, n_perms: int) -> DataFrame:
+    """(doc_id, hs) → (doc_id, sig) with the P min-folds vectorized in
+    numpy (int64 exact: a·h ≤ 2^62 < 2^63). One narrow pass; the
+    shingle hashing itself stays JVM-side (xxhash64)."""
+    import numpy as np
+    import pandas as pd
+
+    perms = minhash_perms(n_perms)
+    A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+
+    def kernel(batches):
+        for pdf in batches:
+            sigs = [
+                ((A * np.asarray(hs, dtype=np.int64)[None, :] + B) % MERSENNE31).min(
+                    axis=1
+                )
+                for hs in pdf["hs"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "sig": sigs})
+
+    return hashed.mapInPandas(kernel, "doc_id long, sig array<long>")
+
+
 def minhash_signatures(
     documents: DataFrame, hash_impl: str = "md5", n_perms: int = N_PERMS
 ) -> DataFrame:
@@ -111,16 +144,20 @@ def minhash_signatures(
     The shingle hash array is computed ONCE into a lateral column and
     the P permutations fold over it — without this, Catalyst inlines
     the hash-array expression into every permutation (P× the work).
+    Above MINHASH_FOLD_KERNEL_PERMS the fold dispatches to the numpy
+    Arrow kernel (bit-identical int64 math, equality-tested).
     """
     hashes = _hashes_spark_sql(hash_impl)
+    hashed = documents.select("doc_id", F.expr(hashes).alias("hs"))
+    if n_perms > MINHASH_FOLD_KERNEL_PERMS:
+        return _minhash_fold_arrow(hashed, n_perms)
     perms = minhash_perms(n_perms)
     mins = [
         f"array_min(transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
         for (a, b) in perms
     ]
-    return (
-        documents.select("doc_id", F.expr(hashes).alias("hs"))
-        .select("doc_id", F.expr("array(" + ", ".join(mins) + ")").alias("sig"))
+    return hashed.select(
+        "doc_id", F.expr("array(" + ", ".join(mins) + ")").alias("sig")
     )
 
 

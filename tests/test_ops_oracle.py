@@ -170,3 +170,28 @@ def test_cosine_zero_vector_no_crash(spark):
     zero_scores = [r.cosine_u for r in rows if r.query_id == 0]
     assert zero_scores and all(s == 0 for s in zero_scores)
     assert sim.ivf_topk(edge).count() > 0
+
+
+def test_minhash_arrow_fold_matches_catalyst(spark, docs):
+    """The production-perm numpy fold must be bit-identical to the
+    Catalyst HOF fold (same int64 math, different executor)."""
+    from pyspark.sql import functions as F
+
+    import otel_worker_spark.ops.dedup as D
+
+    hashed = docs.select(
+        "doc_id", F.expr(D._hashes_spark_sql("xxhash64")).alias("hs")
+    )
+    perms = D.minhash_perms(128)
+    mins = [
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {D.MERSENNE31}))"
+        for a, b in perms
+    ]
+    cat = {
+        r.doc_id: list(r.sig)
+        for r in hashed.select(
+            "doc_id", F.expr("array(" + ", ".join(mins) + ")").alias("sig")
+        ).collect()
+    }
+    arw = {r.doc_id: list(r.sig) for r in D._minhash_fold_arrow(hashed, 128).collect()}
+    assert cat == arw and len(cat) == docs.count()
