@@ -386,8 +386,13 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
     """
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("banding is only complete for max_hamming < SIMHASH_BANDS")
+    from pyspark.storagelevel import StorageLevel
+
     bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
-    sigs = simhash(documents)
+    # both sides of the band self-join derive from the signature frame
+    # — persist it so the 32-bit vote fold runs once, not per side
+    sigs = simhash(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_SIGS.append(sigs)
     bands = sigs.select(
         "doc_id",
         "simhash",
