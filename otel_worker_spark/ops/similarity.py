@@ -226,22 +226,54 @@ def _scaled_arr_lit(vec: list[int]) -> str:
     )
 
 
-def _argmax_centroid(col: str, cents: list[tuple[int, str]]) -> F.Column:
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side SEQUENTIAL left-fold dot — element order and
+    rounding identical to the engines' ``aggregate``/``list_reduce``
+    folds, so a norm computed here and embedded as a repr literal is
+    bit-identical to one the engine would compute."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _norm_lit(vec: list[float]) -> str:
+    import math
+
+    return f"CAST({math.sqrt(_seq_dot(vec, vec))!r} AS DOUBLE)"
+
+
+def _argmax_centroid(
+    col: str, cents: list[tuple[int, str, str]], norm_col: str
+) -> F.Column:
     """Map-side nearest-centroid fold: ``greatest`` over per-centroid
     (sim_u, -cent_id) structs — max sim, tiebreak cent_id asc. Pure
     row expression: no join, no window, NO exchange (the r2 window
     form shuffled corpus×16 scored rows just to pick a max — a
-    needless corpus-sized exchange at 100×)."""
+    needless corpus-sized exchange at 100×).
+
+    ``cents`` carries (cent_id, array literal, PRECOMPUTED norm
+    literal) and the caller supplies the row's own norm as a hoisted
+    column — without this, every centroid's cosine re-folded both the
+    constant centroid norm AND the row norm per row (16 centroids →
+    48 array folds/row instead of 17; same bits either way, the
+    driver-side fold is IEEE-identical)."""
     structs = [
         F.struct(
             F.expr(
-                f"CAST(floor(1000000.0 * {_cosine_spark(col, arr)}) AS BIGINT)"
+                f"CAST(floor(1000000.0 * ({_dot_spark(col, arr)}"
+                f" / greatest(CAST(1e-300 AS DOUBLE), {norm_col} * {nrm})))"
+                f" AS BIGINT)"
             ).alias("sim_u"),
             F.lit(-cid).cast("long").alias("neg_cent"),
         )
-        for cid, arr in cents
+        for cid, arr, nrm in cents
     ]
     return F.greatest(*structs)
+
+
+def _norm_expr(col: str) -> str:
+    return f"sqrt({_dot_spark(col, col)})"
 
 
 def ivf_assignments(
@@ -258,9 +290,15 @@ def ivf_assignments(
         return _ivf_assign_arrow(
             embeddings, _collect_centroids(embeddings, n_centroids)
         )
-    cents = [(cid, _arr_lit(v)) for cid, v in _collect_centroids(embeddings, n_centroids)]
-    best = _argmax_centroid("embedding", cents)
-    return embeddings.select("vec_id", best.alias("best")).select(
+    cents = [
+        (cid, _arr_lit(v), _norm_lit(v))
+        for cid, v in _collect_centroids(embeddings, n_centroids)
+    ]
+    pre = embeddings.select("vec_id", "embedding").withColumn(
+        "__nrm", F.expr(_norm_expr("embedding"))
+    )
+    best = _argmax_centroid("embedding", cents, "__nrm")
+    return pre.select("vec_id", best.alias("best")).select(
         "vec_id",
         (-F.col("best.neg_cent")).alias("cent_id"),
         F.col("best.sim_u").alias("sim_u"),
@@ -326,12 +364,19 @@ def ivf_topk(
     )
     if _use_literal(n_centroids, path):
         lits = [
-            (cid, _arr_lit(v)) for cid, v in _collect_centroids(embeddings, n_centroids)
+            (cid, _arr_lit(v), _norm_lit(v))
+            for cid, v in _collect_centroids(embeddings, n_centroids)
         ]
-        assigned = embeddings.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("e"),
-            (-_argmax_centroid("embedding", lits)["neg_cent"]).alias("cent_id"),
+        assigned = (
+            embeddings.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")
+            )
+            .withColumn("__nrm", F.expr(_norm_expr("e")))
+            .select(
+                "neighbor_id",
+                "e",
+                (-_argmax_centroid("e", lits, "__nrm")["neg_cent"]).alias("cent_id"),
+            )
         )
     else:
         assigned = _ivf_assign_arrow(
@@ -468,9 +513,15 @@ def kmeans_centroids(
         "vec_id", "embedding", F.expr(_quant_expr("embedding")).alias("q")
     )
     for _ in range(iters):
-        lits = [(cid, _scaled_arr_lit(v)) for cid, v in sorted(cents.items())]
-        assigned = quant.select(
-            (-_argmax_centroid("embedding", lits)["neg_cent"]).alias("cent_id"), "q"
+        lits = [
+            (cid, _scaled_arr_lit(v), _norm_lit([x / 1000000.0 for x in v]))
+            for cid, v in sorted(cents.items())
+        ]
+        assigned = quant.withColumn("__nrm", F.expr(_norm_expr("embedding"))).select(
+            (-_argmax_centroid("embedding", lits, "__nrm")["neg_cent"]).alias(
+                "cent_id"
+            ),
+            "q",
         )
         sums = assigned.groupBy("cent_id").agg(
             F.count("*").alias("n"),
@@ -499,7 +550,10 @@ def ivf_kmeans_topk(
     corpus-touching stages are the zero-exchange assignment map and
     the broadcast-probe equi-join."""
     cents = kmeans_centroids(embeddings, n_centroids, iters)
-    lits = [(cid, _scaled_arr_lit(v)) for cid, v in cents]
+    lits = [
+        (cid, _scaled_arr_lit(v), _norm_lit([x / 1000000.0 for x in v]))
+        for cid, v in cents
+    ]
     # probe lists per query: explode the literal centroid structs
     # (n_queries × n_centroids rows — broadcast-sized)
     cent_structs = "array(" + ", ".join(
@@ -524,10 +578,16 @@ def ivf_kmeans_topk(
         .where(F.col("rn") <= n_probe)
         .select("query_id", "q", "cent_id")
     )
-    assigned = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("e"),
-        (-_argmax_centroid("embedding", lits)["neg_cent"]).alias("cent_id"),
+    assigned = (
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")
+        )
+        .withColumn("__nrm", F.expr(_norm_expr("e")))
+        .select(
+            "neighbor_id",
+            "e",
+            (-_argmax_centroid("e", lits, "__nrm")["neg_cent"]).alias("cent_id"),
+        )
     )
     cos = _cosine_spark("q", "e")
     cand = (
