@@ -469,15 +469,21 @@ def verified_pairs(
     )
     _PERSISTED_SIGS.append(cand)
     # shingle sets are heavy (≈1 KB string arrays per doc) — compute
-    # them ONLY for candidate participants (a semi-join against the
-    # tiny persisted pair set), and once, not once per join side
+    # them ONLY for candidate participants, and once, not once per
+    # join side. The participant-id set must BROADCAST (explicitly:
+    # its stats are unknown at planning because cand is lazily
+    # persisted, and a fallback sort-merge semi-join would shuffle the
+    # corpus TEXT — the byte audit caught exactly that, 55.6→277
+    # B/row). Near-dup participants are ≪ corpus in any real dedup;
+    # if they ever approached corpus scale, the right plan is the old
+    # one — shingle everything narrow — not a bigger broadcast.
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     sh = (
-        documents.join(ids, "doc_id", "left_semi")
+        documents.join(F.broadcast(ids), "doc_id", "left_semi")
         .select("doc_id", shingles_expr("text", SHINGLE_K).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -486,8 +492,11 @@ def verified_pairs(
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = "size(array_intersect(sh_a, sh_b))"
     union = "size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))"
+    # same broadcast rationale as ids: the pair set (and pairs⨝sh_a,
+    # still ≤ |cand| rows) is tiny next to the corpus, and without the
+    # hint the planner SMJs — shuffling the candidate SHINGLE frames
     return (
-        cand.join(a, "doc_a")
+        F.broadcast(F.broadcast(cand).join(a, "doc_a"))
         .join(b, "doc_b")
         .select(
             "doc_a",
