@@ -1519,6 +1519,80 @@ IVFPQ_CENTROIDS = N_CENTROIDS
 IVFPQ_PROBE = N_PROBE
 
 
+def _ivfpq_query_probes(
+    qrows, C, cbs, n_probe: int
+) -> list[tuple[int, int, list[list[int]]]]:
+    """(query_id, probed cent_id, residual ADC LUT) rows for the
+    collected query vectors — ≤ n_queries·n_probe rows, all math in
+    exact int64 (the LUT is only a precomputation of the oracle's own
+    d2 terms). Shared by the inline `ivfpq_topk` and the persisted-
+    index serve path (`ops/ann_index.py`), so build-time and serve-time
+    probing are one code path."""
+    import numpy as np
+
+    m = len(cbs)
+    sub = C.shape[1] // m
+    ksub = cbs[0].shape[0]
+    cids = np.arange(C.shape[0], dtype=np.int64)
+    probe_rows = []
+    for r in sorted(qrows, key=lambda r: int(r.vec_id)):
+        qv = np.floor(
+            1_000_000.0 * np.array(r.embedding, dtype=np.float64)
+        ).astype(np.int64)
+        qd2 = ((qv[None, :] - C) ** 2).sum(axis=1)
+        order = np.lexsort((cids, qd2))[:n_probe]  # d2 asc, cent asc
+        for cid in order:
+            qres = qv - C[cid]
+            lut = [
+                [
+                    int(((qres[j * sub : (j + 1) * sub] - cbs[j][c]) ** 2).sum())
+                    for c in range(ksub)
+                ]
+                for j in range(m)
+            ]
+            probe_rows.append((int(r.vec_id), int(cid), lut))
+    return probe_rows
+
+
+def ivfpq_encode(embeddings: DataFrame, C, cbs) -> DataFrame:
+    """Corpus-side IVF+PQ encode: ONE narrow Arrow pass emitting
+    (neighbor_id, cent_id, residual PQ codes) with the model (coarse
+    centroid matrix ``C``, residual codebooks ``cbs``, both int64
+    numpy) riding inside the kernel — the bytes a broadcast would ship
+    anyway. Zero exchange; shared by the inline ``ivfpq_topk`` and the
+    index BUILD path (`ops/ann_index.py`), which persists the result
+    partitioned by cent_id so serving reads only probed lists."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.arange(C.shape[0], dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _np_quantize(pdf["embedding"])
+            d2 = (
+                (Q * Q).sum(axis=1, keepdims=True)
+                - 2 * (Q @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            R = Q - C[assign]
+            codes = _np_pq_codes(R, cbs)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "cent_id": cids[assign],
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "neighbor_id long, cent_id long, codes array<int>"
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
@@ -1549,38 +1623,8 @@ def ivfpq_topk(
     Reference analog: none (beyond-reference training-data family,
     beside `ivf_topk` and `pq_topk` which it composes).
     """
-    import numpy as np
-    import pandas as pd
-
     C, cbs = _ivfpq_model(embeddings, n_centroids, ksub, m)
-    dim = C.shape[1]
-    sub = dim // m
-    cids = np.arange(n_centroids, dtype=np.int64)
-
-    def kernel(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = _np_quantize(pdf["embedding"])
-            d2 = (
-                (Q * Q).sum(axis=1, keepdims=True)
-                - 2 * (Q @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
-            assign = np.argmin(d2, axis=1)
-            R = Q - C[assign]
-            codes = _np_pq_codes(R, cbs)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["vec_id"].to_numpy(),
-                    "cent_id": cids[assign],
-                    "codes": list(codes),
-                }
-            )
-
-    encoded = embeddings.select("vec_id", "embedding").mapInPandas(
-        kernel, "neighbor_id long, cent_id long, codes array<int>"
-    )
+    encoded = ivfpq_encode(embeddings, C, cbs)
 
     # per-(query, probed list) residual LUTs — ≤ n_queries·n_probe rows
     qrows = (
@@ -1588,23 +1632,7 @@ def ivfpq_topk(
         .select("vec_id", "embedding")
         .collect()
     )
-    probe_rows = []
-    for r in sorted(qrows, key=lambda r: int(r.vec_id)):
-        qv = np.floor(
-            1_000_000.0 * np.array(r.embedding, dtype=np.float64)
-        ).astype(np.int64)
-        qd2 = ((qv[None, :] - C) ** 2).sum(axis=1)
-        order = np.lexsort((cids, qd2))[:n_probe]  # d2 asc, cent asc
-        for cid in order:
-            qres = qv - C[cid]
-            lut = [
-                [
-                    int(((qres[j * sub : (j + 1) * sub] - cbs[j][c]) ** 2).sum())
-                    for c in range(ksub)
-                ]
-                for j in range(m)
-            ]
-            probe_rows.append((int(r.vec_id), int(cid), lut))
+    probe_rows = _ivfpq_query_probes(qrows, C, cbs, n_probe)
     probes = embeddings.sparkSession.createDataFrame(
         probe_rows, "query_id long, cent_id long, lut array<array<bigint>>"
     )

@@ -190,16 +190,25 @@ class TableStore:
         return out
 
     def read(
-        self, partition: str | None = None, as_of: int | None = None
+        self,
+        partition: str | None = None,
+        as_of: int | None = None,
+        partitions: list[str] | None = None,
     ) -> DataFrame:
         """Snapshot read; ``partition`` prunes to one partition value
         (a per-signal sink view) at the file-list level — no data read
-        from other sinks at all. ``as_of`` reads the snapshot as of
+        from other sinks at all; ``partitions`` prunes to a SET of
+        values (the ANN serve path reads only the probed posting
+        lists — at production scale that is n_probe/n_centroids of the
+        corpus never leaving disk). ``as_of`` reads the snapshot as of
         commit seq N (time travel over the commit log)."""
         files = self.live_files(as_of)
         parts = self._file_partitions()
         if partition is not None:
             files = [f for f in files if parts.get(f, (None, None))[1] == partition]
+        if partitions is not None:
+            wanted = set(partitions)
+            files = [f for f in files if parts.get(f, (None, None))[1] in wanted]
         if not files:
             schema = self._load_schema()
             if schema is None:
