@@ -264,14 +264,17 @@ def _measure(cores: int) -> dict:
         spark.stop()
 
 
-def _measure_secondary(cores: int) -> dict:
+def _measure_secondary(cores: int) -> tuple[dict, dict]:
     """Second scoring window for the heavy SECONDARY headline queries
     (same sf, fresh session): the clean-window gate brackets the
     headline section as a whole, so a single transient hiccup inside
     it can print a phantom 4x regression for one runs=1 query (r4:
     dedup_groups 13.37 s in the compact line vs 2.86 s the same day).
     The compact line takes each secondary query's best of the two
-    windows — pipeline_agg itself stays gated-window-only."""
+    windows — pipeline_agg itself stays gated-window-only. Returns
+    (timings, errors): a failing query is RECORDED, not silently
+    dropped (r5 ADVICE item 4), so a broken query cannot quietly keep
+    its old headline number."""
     from otel_worker_spark.ops import dedup as dd
     from otel_worker_spark.ops import similarity as sim
     from otel_worker_spark.registry import rel_pricing_summary
@@ -281,6 +284,7 @@ def _measure_secondary(cores: int) -> dict:
         app_name=f"bench-secondary-{cores}", cores=cores, shuffle_partitions=cores
     )
     out: dict[str, float] = {}
+    errors: dict[str, str] = {}
     try:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -301,12 +305,12 @@ def _measure_secondary(cores: int) -> dict:
             try:
                 fn()
                 out[name] = round(time.perf_counter() - t0, 3)
-            except Exception:
-                pass  # absent from the rescore = headline value stands
+            except Exception as exc:  # headline value stands; failure archived
+                errors[name] = repr(exc)[:500]
         dd.release_persisted_signatures()
     finally:
         spark.stop()
-    return out
+    return out, errors
 
 
 def _registry_sweep(spark) -> dict:
@@ -547,10 +551,24 @@ def main() -> None:
     detail = {
         "query_runs": primary.get("query_runs", {}),
         "registry": {} if skip_extra else _run_registry_sweep(),
-        # same-sf second window for the heavy secondary queries —
-        # merged (min) into the compact line just before printing
-        "secondary_window": {} if skip_extra else _measure_secondary(CPUS),
     }
+    if skip_extra:
+        detail["secondary_window"] = {}
+    else:
+        # same-sf second window for the heavy secondary queries —
+        # merged (min) into the compact line just before printing, but
+        # ONLY from a clean window: the merge is bracketed by the same
+        # whole-box probes as the primary so host_window.clean keeps
+        # describing the provenance of every merged value (r5 ADVICE
+        # item 4). The clean verdict is applied at merge time against
+        # the FINAL session median.
+        sec_before = _cpu_calibration_multicore()
+        sec_queries, sec_errors = _measure_secondary(CPUS)
+        sec_after = _cpu_calibration_multicore()
+        session_probes += [sec_before, sec_after]
+        detail["secondary_window"] = sec_queries
+        detail["secondary_errors"] = sec_errors
+        detail["secondary_probes"] = {"before": sec_before, "after": sec_after}
 
     if os.environ.get("BENCH_SCALING", "1") != "0":
         # Fresh JVM per level (identical heap/GC state); each round runs
@@ -695,14 +713,25 @@ def main() -> None:
 
     # secondary de-noise merge: each non-gated query reports its best
     # across (gated headline window, dedicated second window) — done
-    # LAST because the scaling re-judge can reassign result["queries"]
+    # LAST because the scaling re-judge can reassign result["queries"],
+    # and only from a CLEAN secondary window (judged against the final
+    # session median, like the attempt re-judge above)
     merged = []
-    for name, sec in detail.get("secondary_window", {}).items():
-        if name in result["queries"] and sec < result["queries"][name]:
-            result["queries"][name] = sec
-            merged.append(name)
+    sec_probes = detail.get("secondary_probes")
+    sec_clean = bool(sec_probes) and _is_clean(
+        min(sec_probes["before"], sec_probes["after"])
+    )
+    if sec_probes:
+        detail["secondary_probes"]["clean"] = sec_clean
+    if sec_clean:
+        for name, sec in detail.get("secondary_window", {}).items():
+            if name in result["queries"] and sec < result["queries"][name]:
+                result["queries"][name] = sec
+                merged.append(name)
     if merged:
         result["secondary_rescored"] = sorted(merged)
+    if detail.get("secondary_errors"):
+        result["secondary_errors"] = sorted(detail["secondary_errors"])
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -306,7 +306,16 @@ def serve(
                 # auth-layered API router (lib.rs:63-71) — no gate
                 return self._route_ws(method)
             if not self._authed():
-                if int(self.headers.get("Content-Length") or 0):
+                # parse defensively: a non-numeric Content-Length here
+                # (outside _route's try) previously raised an uncaught
+                # ValueError — traceback + dropped connection instead
+                # of the 401 (r5 ADVICE item 2). Unparseable length ⇒
+                # the body can't be safely drained either, so close.
+                try:
+                    has_body = int(self.headers.get("Content-Length") or 0) > 0
+                except ValueError:
+                    has_body = True
+                if has_body:
                     self.close_connection = True  # body left unread
                 return self._send(401)
             parts = [p for p in url.path.split("/") if p]

@@ -123,14 +123,22 @@ def _minhash_fold_arrow(hashed: DataFrame, n_perms: int) -> DataFrame:
     A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
     B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
 
+    n_perms_out = A.shape[0]
+
     def kernel(batches):
         for pdf in batches:
-            sigs = [
-                ((A * np.asarray(hs, dtype=np.int64)[None, :] + B) % MERSENNE31).min(
-                    axis=1
-                )
-                for hs in pdf["hs"]
-            ]
+            sigs = []
+            for hs in pdf["hs"]:
+                arr = np.asarray(hs if hs is not None else [], dtype=np.int64)
+                if arr.size == 0:
+                    # behavioral parity with the Catalyst path, where
+                    # array_min over an empty fold yields NULL per perm
+                    # — an empty hash array must not kill the task
+                    # (r5 ADVICE item 3; latent today: shingles_expr
+                    # guarantees ≥1 shingle)
+                    sigs.append([None] * n_perms_out)
+                    continue
+                sigs.append(((A * arr[None, :] + B) % MERSENNE31).min(axis=1))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "sig": sigs})
 
     return hashed.mapInPandas(kernel, "doc_id long, sig array<long>")
@@ -440,6 +448,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 # ------------------------------------------------- n-gram Jaccard verify
 
+#: above this candidate-pair count the verify stage abandons the
+#: broadcast plan: the build side carries ~1 KB shingle arrays per
+#: pair, so 5·10^5 pairs ≈ 0.5 GB — comfortably under Spark's 8 GB
+#: broadcast hard limit with headroom for executor copies, while a
+#: crawl-skew corpus producing tens of millions of candidates streams
+#: through shuffle joins instead of failing outright
+VERIFY_BROADCAST_MAX_PAIRS = 500_000
+
+
 def verified_pairs(
     documents: DataFrame,
     jaccard_threshold: float = 0.5,
@@ -468,25 +485,35 @@ def verified_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)  # read 3× below (ids + join)
     )
     _PERSISTED_SIGS.append(cand)
-    # shingle sets are heavy (≈1 KB string arrays per doc) — compute
-    # them ONLY for candidate participants, and once, not once per
-    # join side. The participant-id set must BROADCAST (explicitly:
-    # its stats are unknown at planning because cand is lazily
-    # persisted, and a fallback sort-merge semi-join would shuffle the
-    # corpus TEXT — the byte audit caught exactly that, 55.6→277
-    # B/row). Near-dup participants are ≪ corpus in any real dedup;
-    # if they ever approached corpus scale, the right plan is the old
-    # one — shingle everything narrow — not a bigger broadcast.
-    ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh = (
-        documents.join(F.broadcast(ids), "doc_id", "left_semi")
-        .select("doc_id", shingles_expr("text", SHINGLE_K).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # the broadcast plan below ships the CANDIDATE pair frame (and,
+    # in the second join, candidate SHINGLE arrays ~1 KB each) to every
+    # executor — a win while candidates ≪ corpus, a driver-OOM/8-GB-
+    # limit job killer on a candidate-heavy (crawl-skew) corpus. Gate
+    # on the exact candidate count (free: cand is persisted and the
+    # count materializes it for the joins anyway); above the gate fall
+    # back to the pre-r5 shape — shingle everything narrow, plain
+    # shuffle joins — which degrades gracefully instead of failing
+    # (r5 ADVICE item 1).
+    n_cand = cand.count()
+    small = n_cand <= VERIFY_BROADCAST_MAX_PAIRS
+    if small:
+        # shingle sets are heavy — compute them ONLY for candidate
+        # participants, and once, not once per join side. The
+        # participant-id set must BROADCAST (explicitly: its stats are
+        # unknown at planning because cand is lazily persisted, and a
+        # fallback sort-merge semi-join would shuffle the corpus TEXT —
+        # the byte audit caught exactly that, 55.6→277 B/row).
+        ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = documents.join(F.broadcast(ids), "doc_id", "left_semi").select(
+            "doc_id", shingles_expr("text", SHINGLE_K).alias("sh")
+        )
+    else:
+        sh = documents.select("doc_id", shingles_expr("text", SHINGLE_K).alias("sh"))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED_SIGS.append(sh)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -495,10 +522,12 @@ def verified_pairs(
     # same broadcast rationale as ids: the pair set (and pairs⨝sh_a,
     # still ≤ |cand| rows) is tiny next to the corpus, and without the
     # hint the planner SMJs — shuffling the candidate SHINGLE frames
+    if small:
+        pairs = F.broadcast(F.broadcast(cand).join(a, "doc_a")).join(b, "doc_b")
+    else:
+        pairs = cand.join(a, "doc_a").join(b, "doc_b")
     return (
-        F.broadcast(F.broadcast(cand).join(a, "doc_a"))
-        .join(b, "doc_b")
-        .select(
+        pairs.select(
             "doc_a",
             "doc_b",
             F.expr(f"CAST(floor(1000.0 * {inter} / ({union})) AS INT)").alias("jaccard_m"),

@@ -260,6 +260,39 @@ def test_gzip_bomb_is_413_not_oom(server):
     assert status == 400
 
 
+def test_unauthed_bad_content_length_gets_401(spark, tmp_root):
+    """r5 advice: a non-numeric Content-Length on the UNauthenticated
+    path must still produce the 401 (with the connection closed, since
+    the body can't be safely drained) — previously the int() parse sat
+    outside _route's try and an uncaught ValueError dropped the
+    connection with a server-side traceback."""
+    import socket as _socket
+
+    stores = PipelineStores(spark, tmp_root + "/stores-badcl")
+    api = TraceApi(spark, stores, service_lookup_df(spark), token=TOKEN)
+    srv = serve(api)
+    host, port = srv.server_address
+    try:
+        sock = _socket.create_connection((host, port), timeout=10)
+        sock.sendall(
+            b"POST /v1/traces HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: banana\r\n\r\n"
+        )
+        sock.settimeout(10)
+        data = b""
+        while True:
+            got = sock.recv(65536)
+            if not got:
+                break
+            data += got
+        sock.close()
+        assert b" 401" in data.split(b"\r\n", 1)[0]
+        assert data.count(b"HTTP/1.") == 1  # closed, no desynced follow-up
+    finally:
+        srv.shutdown()
+
+
 def test_oversized_post_bounce_closes_connection(server):
     """r4 advice: a 413 sent without draining the body must close the
     connection — otherwise a keep-alive client's unread body bytes get
