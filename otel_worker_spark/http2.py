@@ -33,6 +33,7 @@ import socket
 import socketserver
 import struct
 import threading
+from collections import deque
 
 from . import grpc_adapter
 
@@ -515,16 +516,100 @@ def serve_grpc_h2c(api, host: str = "127.0.0.1", port: int = 0):
             except (H2Error, OSError, TimeoutError):
                 pass
 
+        # ---- response-side flow control (RFC 7540 §5.2/§6.9) --------
+        # The server must not send response DATA past the CLIENT's
+        # advertised windows: a connection window (sid 0) plus one per
+        # stream, seeded from SETTINGS_INITIAL_WINDOW_SIZE and
+        # replenished by WINDOW_UPDATE. When a send stalls, the session
+        # thread PUMPS the socket for control frames (WINDOW_UPDATE /
+        # SETTINGS / PING) and queues everything else for the main loop
+        # — single-threaded, no deadlock, no reordering of stream
+        # frames. Export responses are small, but a client is entitled
+        # to a 1-byte window and the accounting must still be exact.
+
+        def _apply_settings(self, payload: bytes) -> None:
+            if len(payload) % 6:
+                raise H2Error("SETTINGS payload not a multiple of 6")
+            for off in range(0, len(payload), 6):
+                ident, value = struct.unpack_from(">HI", payload, off)
+                if ident == 0x4:  # SETTINGS_INITIAL_WINDOW_SIZE
+                    if value > 0x7FFFFFFF:
+                        raise H2Error("INITIAL_WINDOW_SIZE overflow")
+                    delta = value - self._init_window
+                    self._init_window = value
+                    # §6.9.2: adjust every open STREAM window by the
+                    # delta (the connection window is not affected)
+                    for s in self._send_windows:
+                        if s != 0:
+                            self._send_windows[s] += delta
+
+        def _window_update(self, sid: int, payload: bytes) -> None:
+            if len(payload) != 4:
+                raise H2Error("bad WINDOW_UPDATE length")
+            inc = struct.unpack(">I", payload)[0] & 0x7FFFFFFF
+            if inc == 0:
+                raise H2Error("WINDOW_UPDATE increment of 0")
+            self._send_windows[sid] = (
+                self._send_windows.get(sid, self._init_window) + inc
+            )
+
+        def _handle_control(self, sock, got) -> bool:
+            """Process a connection-control frame; False = not ours."""
+            ftype, flags, sid, payload = got
+            if ftype == F_SETTINGS:
+                if not flags & FL_ACK:
+                    self._apply_settings(payload)
+                    sock.sendall(frame(F_SETTINGS, FL_ACK, 0, b""))
+                return True
+            if ftype == F_PING:
+                if not flags & FL_ACK:
+                    sock.sendall(frame(F_PING, FL_ACK, 0, payload))
+                return True
+            if ftype == F_WINDOW_UPDATE:
+                self._window_update(sid, payload)
+                return True
+            return False
+
+        def _send_data(self, sock, sid: int, body: bytes) -> None:
+            """Send response DATA within the client's flow-control
+            budget, pumping the socket for WINDOW_UPDATEs when stalled;
+            non-control frames read during a stall are queued for the
+            main loop, so interleaved request streams keep working."""
+            self._send_windows.setdefault(sid, self._init_window)
+            off = 0
+            while off < len(body):
+                avail = min(self._send_windows[0], self._send_windows[sid])
+                if avail <= 0:
+                    got = read_frame(sock)
+                    if got is None:
+                        raise H2Error("peer closed while send was stalled")
+                    if not self._handle_control(sock, got):
+                        self._queued.append(got)
+                    continue
+                n = min(avail, MAX_FRAME, len(body) - off)
+                sock.sendall(frame(F_DATA, 0, sid, body[off : off + n]))
+                self._send_windows[0] -= n
+                self._send_windows[sid] -= n
+                off += n
+
+        def _next_frame(self, sock):
+            if self._queued:
+                return self._queued.popleft()
+            return read_frame(sock)
+
         def _session(self, sock):
             if _recv_exact(sock, len(PREFACE)) != PREFACE:
                 return
             sock.sendall(frame(F_SETTINGS, 0, 0, b""))  # our (default) settings
             decoder = HpackDecoder()
+            self._send_windows: dict[int, int] = {0: 65535}
+            self._init_window = 65535
+            self._queued: deque = deque()
             streams: dict[int, _StreamState] = {}
             bounced: set[int] = set()  # answered early; discard their tail
             expect_continuation: int | None = None
             while True:
-                got = read_frame(sock)
+                got = self._next_frame(sock)
                 if got is None:
                     return
                 ftype, flags, sid, payload = got
@@ -532,13 +617,16 @@ def serve_grpc_h2c(api, host: str = "127.0.0.1", port: int = 0):
                     raise H2Error("expected CONTINUATION")
                 if ftype == F_SETTINGS:
                     if not flags & FL_ACK:
+                        self._apply_settings(payload)
                         sock.sendall(frame(F_SETTINGS, FL_ACK, 0, b""))
                 elif ftype == F_PING:
                     if not flags & FL_ACK:
                         sock.sendall(frame(F_PING, FL_ACK, 0, payload))
                 elif ftype == F_GOAWAY:
                     return
-                elif ftype in (F_WINDOW_UPDATE, F_PRIORITY):
+                elif ftype == F_WINDOW_UPDATE:
+                    self._window_update(sid, payload)
+                elif ftype == F_PRIORITY:
                     pass
                 elif ftype == F_RST_STREAM:
                     streams.pop(sid, None)
@@ -631,8 +719,7 @@ def serve_grpc_h2c(api, host: str = "127.0.0.1", port: int = 0):
                 [(":status", "200"), ("content-type", "application/grpc")]
             )
             sock.sendall(frame(F_HEADERS, FL_END_HEADERS, sid, head))
-            for i in range(0, len(body), MAX_FRAME):
-                sock.sendall(frame(F_DATA, 0, sid, body[i : i + MAX_FRAME]))
+            self._send_data(sock, sid, body)
             trailers = [("grpc-status", str(code))]
             if msg:
                 # percent-encoded per the gRPC HTTP/2 spec — also keeps

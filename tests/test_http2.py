@@ -456,3 +456,94 @@ def test_h2c_padded_frames_round_trip(spark, tmp_root):
         sock.close()
     finally:
         srv.shutdown()
+
+
+def test_h2c_concurrent_streams_response_flow_control(spark, tmp_root):
+    """r5 verdict item 7: two concurrent Export streams on ONE
+    connection with a tiny client stream window
+    (SETTINGS_INITIAL_WINDOW_SIZE = 3). Both streams must complete,
+    the server must chunk response DATA inside the advertised window
+    — accounting asserted frame by frame — and must resume only after
+    the client's WINDOW_UPDATE replenishes the stream."""
+    import socket as _socket
+
+    WIN = 3
+    stores = PipelineStores(spark, tmp_root + "/stores-fc")
+    api = TraceApi(spark, stores, service_lookup_df(spark))
+    srv = h2.serve_grpc_h2c(api)
+    host, port = srv.server_address
+    try:
+        sock = _socket.create_connection((host, port), timeout=30)
+        sock.settimeout(30)
+        sock.sendall(h2.PREFACE)
+        sock.sendall(h2.frame(h2.F_SETTINGS, 0, 0, struct.pack(">HI", 4, WIN)))
+
+        def send_headers(sid):
+            block = h2.hpack_encode(
+                [
+                    (":method", "POST"),
+                    (":scheme", "http"),
+                    (":path", g.EXPORT_PATH),
+                    (":authority", "localhost"),
+                    ("content-type", "application/grpc"),
+                    ("te", "trailers"),
+                ]
+            )
+            sock.sendall(h2.frame(h2.F_HEADERS, h2.FL_END_HEADERS, sid, block))
+
+        body = g.encode_frame(_export_bytes())
+        # interleave: both streams open, stream 3 finishes first
+        send_headers(1)
+        send_headers(3)
+        sock.sendall(h2.frame(h2.F_DATA, h2.FL_END_STREAM, 3, body))
+        sock.sendall(h2.frame(h2.F_DATA, h2.FL_END_STREAM, 1, body))
+
+        decoder = h2.HpackDecoder()
+        allowed = {1: WIN, 3: WIN}   # what the server may still send
+        got_data = {1: bytearray(), 3: bytearray()}
+        data_frames = {1: 0, 3: 0}
+        trailers: dict[int, dict] = {}
+        saw_resp_headers: set[int] = set()
+        while len(trailers) < 2:
+            got = h2.read_frame(sock)
+            assert got is not None, "connection closed before both streams finished"
+            ftype, flags, sid, payload = got
+            if ftype in (h2.F_SETTINGS, h2.F_PING, h2.F_WINDOW_UPDATE):
+                if ftype == h2.F_SETTINGS and not flags & h2.FL_ACK:
+                    sock.sendall(h2.frame(h2.F_SETTINGS, h2.FL_ACK, 0, b""))
+                continue
+            if ftype == h2.F_HEADERS:
+                decoded = dict(decoder.decode(payload))
+                if sid not in saw_resp_headers:
+                    saw_resp_headers.add(sid)
+                    assert decoded[":status"] == "200"
+                else:
+                    assert flags & h2.FL_END_STREAM
+                    trailers[sid] = decoded
+            elif ftype == h2.F_DATA:
+                # EXACT accounting: the server may never exceed the
+                # client's remaining window for this stream
+                assert 0 < len(payload) <= allowed[sid], (
+                    f"stream {sid}: {len(payload)} bytes sent with only "
+                    f"{allowed[sid]} window available"
+                )
+                allowed[sid] -= len(payload)
+                got_data[sid] += payload
+                data_frames[sid] += 1
+                # replenish exactly what was consumed
+                inc = struct.pack(">I", len(payload))
+                sock.sendall(h2.frame(h2.F_WINDOW_UPDATE, 0, sid, inc))
+                allowed[sid] += len(payload)
+        sock.close()
+        for sid in (1, 3):
+            assert trailers[sid]["grpc-status"] == "0"
+            assert g.decode_frames(bytes(got_data[sid])) == [b""]
+            # a 5-byte response through a 3-byte window = ≥2 chunks,
+            # i.e. the server really did stall and resume on the update
+            assert data_frames[sid] >= 2
+        # both exports landed (same payload → one idempotent batch)
+        assert stores.spans.read().filter(
+            f"trace_id = '{GOLDEN_TRACE_ID}'"
+        ).count() > 0
+    finally:
+        srv.shutdown()
