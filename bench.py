@@ -249,6 +249,22 @@ def _measure(cores: int) -> dict:
         )
         dd.release_persisted_signatures()  # drop the sig caches the runs above left
         timed("ann_cosine_topk", lambda: sim.cosine_topk(embs).count(), runs=1)
+        # ANN build/serve split (r6): build the persisted IVF+PQ index
+        # ONCE (untimed — a 100-TB index is built once), then time (a)
+        # serving from the index and (b) the inline query that
+        # re-encodes per call. The headline claim is (a) ≪ (b).
+        from otel_worker_spark.ops import ann_index as ai
+
+        idx_root = os.path.join(tmp, "ann-index", "ivfpq")
+        ai.build_ivfpq_index(embs, idx_root)
+        timed(
+            "ann_ivfpq_serve",
+            lambda: ai.ivfpq_serve_topk(
+                embs, idx_root, n_queries=8, k=5
+            ).count(),
+            runs=1,
+        )
+        timed("ann_ivfpq_inline", lambda: sim.ivfpq_topk(embs).count(), runs=1)
         timed("rel_pricing_summary", lambda: rel_pricing_summary(spark, SF_DIR).collect())
 
         thr = n_seq / timings["pipeline_agg"]
@@ -335,6 +351,15 @@ def _registry_sweep(spark) -> dict:
         # warm the shared parse once (untimed) so every entry below
         # measures its own marginal cost
         reg._valid(spark, sf).count()
+        # warm the persisted ANN indexes (untimed): an index is built
+        # once and served many — the ann_*_serve sweep entries should
+        # measure SERVING, not first-call index construction
+        qmap = reg.queries()
+        for nm in ("ann_ivf_serve_topk", "ann_pq_serve_topk", "ann_ivfpq_serve_topk"):
+            try:
+                qmap[nm](spark, sf).count()
+            except Exception:
+                pass  # the timed run below will surface the failure
         for name, fn in reg.queries().items():
             t0 = time.perf_counter()
             try:

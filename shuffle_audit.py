@@ -269,6 +269,165 @@ def render_markdown(result: dict) -> str:
     return "\n".join(lines)
 
 
+# ------------------------------------------------- decade probe (sf1)
+#
+# r5 verdict item 5: validate the byte-audit extrapolation ONE DECADE
+# further for the heavy families (dedup / ann / corpus). The probe
+# replicates the sf0.1 documents+embeddings ×10 (≈ sf1) and runs the
+# same heavy ops at BOTH scales in one event-logged session; the claim
+# checked is that shuffle bytes stay ~linear in the driving rows
+# (bytes/row flat across the decade), plus that the spill machinery
+# copes if the bigger inputs force it.
+#
+# Replicas must NOT be byte-identical: identical documents would give
+# every doc 10 exact copies — C(10,2)=45 candidate pairs per doc, a
+# quadratic-in-replicas pair graph that says nothing about linear
+# scaling. Each replica instead applies its own character-substitution
+# cipher: an injective char map preserves the 5-gram shingle-set
+# structure (and therefore the near-dup density) WITHIN a replica
+# while decorrelating replicas, so candidates grow ~10×, not 45×.
+
+DECADE_REP = 10
+DECADE_QUERIES = (
+    "dedup_minhash_pairs_128",
+    "dedup_groups",
+    "ann_ivfpq_topk",
+    "corpus_pack_chunks",
+)
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _cipher(i: int) -> str:
+    import random as _random
+
+    letters = list(_ALPHA)
+    _random.Random(1000 + i).shuffle(letters)
+    return "".join(letters)
+
+
+def _replicate_sf(spark, sf_dir: str, out_dir: str, rep: int = DECADE_REP) -> None:
+    """Write a ×rep sf directory: documents/embeddings replicated with
+    per-replica id offsets (+ the cipher on text); everything else
+    symlinked from the base sf (read-only)."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_parts = []
+    for i in range(rep):
+        part = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if i:  # replica 0 stays byte-identical to the base corpus
+            part = part.withColumn(
+                "text", F.expr(f"translate(text, '{_ALPHA}', '{_cipher(i)}')")
+            )
+        doc_parts.append(part)
+    functools.reduce(lambda a, b: a.union(b), doc_parts).repartition(64).write.parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    functools.reduce(
+        lambda a, b: a.union(b),
+        [
+            embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+            for i in range(rep)
+        ],
+    ).repartition(16).write.parquet(f"{out_dir}/embeddings.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+
+
+def _decade_jobs(spark, sf_dir: str) -> dict:
+    from otel_worker_spark.ops import corpus as cp
+    from otel_worker_spark.ops import dedup as dd
+    from otel_worker_spark.ops import similarity as sim
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return {
+        "dedup_minhash_pairs_128": lambda: dd.minhash_lsh_pairs(
+            docs, hash_impl="xxhash64", n_perms=dd.PROD_PERMS, n_bands=dd.PROD_BANDS
+        ),
+        "dedup_groups": lambda: dd.dedup_groups(docs, hash_impl="xxhash64"),
+        "ann_ivfpq_topk": lambda: sim.ivfpq_topk(embs),
+        # pack_chunks: output AND its per-source cumsum window scale
+        # linearly with docs — the realistic window-spill candidate
+        "corpus_pack_chunks": lambda: cp.pack_chunks(docs),
+    }
+
+
+def decade_probe(sf_dir: str, cpus: int) -> dict:
+    from otel_worker_spark.ops import dedup as dd
+    from otel_worker_spark.session import get_spark
+
+    event_dir = tempfile.mkdtemp(prefix="spark-events-dec-")
+    rep_root = tempfile.mkdtemp(prefix="ows-decade-")
+    rep_dir = os.path.join(rep_root, "x10")
+    spark = get_spark(
+        app_name="decade-probe",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{event_dir}",
+            "spark.eventLog.compress": "false",
+        },
+    )
+    runs: dict[tuple[str, str], dict] = {}
+    try:
+        _replicate_sf(spark, sf_dir, rep_dir)
+        sc = spark.sparkContext
+        for tag, d in (("1x", sf_dir), ("10x", rep_dir)):
+            for name, fn in _decade_jobs(spark, d).items():
+                group = f"dec_{name}@{tag}"
+                sc.setJobGroup(group, group, interruptOnCancel=False)
+                t0 = time.perf_counter()
+                rows = fn().count()
+                runs[(name, tag)] = {
+                    "rows_out": rows,
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                }
+                print(f"  {group}: {rows} rows, {runs[(name, tag)]['wall_s']} s",
+                      file=sys.stderr)
+                dd.release_persisted_signatures()
+    finally:
+        spark.stop()
+        import shutil as _shutil
+
+        _shutil.rmtree(rep_root, ignore_errors=True)
+    metrics = parse_event_log(event_dir)
+    n_docs = table_rows(sf_dir, "documents")
+    n_embs = table_rows(sf_dir, "embeddings")
+    out = {"sf_dir": sf_dir, "cpus": cpus, "replication": DECADE_REP, "queries": {}}
+    for name in DECADE_QUERIES:
+        base_rows = n_embs if name.startswith("ann_") else n_docs
+        per = {}
+        for tag, mult in (("1x", 1), ("10x", DECADE_REP)):
+            m = metrics.get(f"dec_{name}@{tag}", {})
+            sw = m.get("shuffle_write_bytes", 0)
+            per[tag] = {
+                **runs.get((name, tag), {}),
+                "shuffle_write_bytes": sw,
+                "shuffle_read_bytes": m.get("shuffle_read_bytes", 0),
+                "input_bytes": m.get("input_bytes", 0),
+                "spill_disk_bytes": m.get("spill_disk_bytes", 0),
+                "driving_rows": base_rows * mult,
+                "shuffle_bytes_per_row": round(sw / (base_rows * mult), 3),
+            }
+        b1 = per["1x"]["shuffle_bytes_per_row"]
+        b10 = per["10x"]["shuffle_bytes_per_row"]
+        per["bytes_per_row_ratio"] = (
+            round(b10 / b1, 3) if b1 > 0 else (1.0 if b10 == 0 else float("inf"))
+        )
+        out["queries"][name] = per
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -276,7 +435,24 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES), help="comma list, or 'all' for every registry query")
     ap.add_argument("--json-out", default="SCALE_AUDIT.json")
     ap.add_argument("--write", action="store_true", help="refresh SCALE.md's measured table")
+    ap.add_argument("--decade", action="store_true",
+                    help="run the ×10 (≈sf1) heavy-family probe and merge "
+                         "it into --json-out under 'decade_probe'")
     args = ap.parse_args()
+    if args.decade:
+        result = decade_probe(args.sf, args.cpus)
+        merged = {}
+        if os.path.exists(args.json_out):
+            try:
+                with open(args.json_out) as fh:
+                    merged = json.load(fh)
+            except ValueError:
+                merged = {}
+        merged["decade_probe"] = result
+        with open(args.json_out, "w") as fh:
+            json.dump(merged, fh, indent=1)
+        print(json.dumps(result))
+        return
     if args.queries.strip() == "all":
         import __spark_entry__ as entry
 
@@ -284,6 +460,17 @@ def main() -> None:
     else:
         names = [q.strip() for q in args.queries.split(",") if q.strip()]
     result = audit(args.sf, args.cpus, names)
+    # preserve sections other modes own (e.g. decade_probe) — the
+    # audit refresh must not clobber the ×10 probe's archived numbers
+    if os.path.exists(args.json_out):
+        try:
+            with open(args.json_out) as fh:
+                prior = json.load(fh)
+        except ValueError:
+            prior = {}
+        for key in ("decade_probe",):
+            if key in prior:
+                result[key] = prior[key]
     with open(args.json_out, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "queries"}))
