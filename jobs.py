@@ -12,6 +12,8 @@ Run on a cluster as:
     spark-submit ... jobs.py ingest-metrics --stores /data/otel
     spark-submit ... jobs.py traces-list --stores /data/otel --limit 20
     spark-submit ... jobs.py delete-trace --stores /data/otel --trace-id <hex>
+    spark-submit ... jobs.py ann-build --embeddings /data/emb --index /data/ann
+    spark-submit ... jobs.py ann-serve --embeddings /data/emb --index /data/ann --k 5
     spark-submit ... jobs.py bench           (local benchmarking, see bench.py)
 
 Local mode works identically (the session factory picks master from
@@ -153,6 +155,54 @@ def cmd_curate(args) -> None:
         "tokens": row["tokens"],
         "capacity": args.capacity,
         "out": args.out,
+    }))
+
+
+def cmd_ann_build(args) -> None:
+    """Build a persisted ANN index (the build half of the build/serve
+    split, ops/ann_index.py): train on the embeddings parquet, write
+    the model + encoded corpus into TableStore tables under --index
+    (posting/code lists as cent_id partitions). Run once; serve many
+    with ``ann-serve``."""
+    from otel_worker_spark.ops import ann_index as ai
+
+    spark = get_spark("ann-build")
+    embs = spark.read.parquet(args.embeddings)
+    builders = {
+        "ivf": lambda: ai.build_ivf_index(embs, args.index),
+        "pq": lambda: ai.build_pq_index(embs, args.index),
+        "ivfpq": lambda: ai.build_ivfpq_index(embs, args.index),
+    }
+    receipt = builders[args.family]()
+    print(json.dumps({
+        "family": args.family,
+        "index": args.index,
+        "rows": receipt.get("row_count"),
+        "files": len(receipt.get("added_files", [])),
+        "skipped": receipt.get("skipped", False),
+    }))
+
+
+def cmd_ann_serve(args) -> None:
+    """Answer a top-k query FROM a persisted ANN index — no training,
+    no corpus encode; only the probed posting/code partitions are read
+    (file-list pruning)."""
+    from otel_worker_spark.ops import ann_index as ai
+
+    spark = get_spark("ann-serve")
+    embs = spark.read.parquet(args.embeddings)
+    servers = {
+        "ivf": lambda: ai.ivf_serve_topk(embs, args.index, args.queries, args.k),
+        "pq": lambda: ai.pq_serve_topk(embs, args.index, args.queries, args.k),
+        "ivfpq": lambda: ai.ivfpq_serve_topk(embs, args.index, args.queries, args.k),
+    }
+    rows = servers[args.family]().collect()
+    print(json.dumps({
+        "family": args.family,
+        "results": [
+            {"queryId": r.query_id, "rank": r.rank, "neighborId": r.neighbor_id}
+            for r in rows
+        ],
     }))
 
 
@@ -390,6 +440,20 @@ def main() -> None:
     pc.add_argument("--out", required=True)
     pc.add_argument("--capacity", type=int, default=64)
     pc.set_defaults(fn=cmd_curate)
+
+    pab = sub.add_parser("ann-build")
+    pab.add_argument("--embeddings", required=True)
+    pab.add_argument("--index", required=True)
+    pab.add_argument("--family", choices=("ivf", "pq", "ivfpq"), default="ivfpq")
+    pab.set_defaults(fn=cmd_ann_build)
+
+    pas = sub.add_parser("ann-serve")
+    pas.add_argument("--embeddings", required=True)
+    pas.add_argument("--index", required=True)
+    pas.add_argument("--family", choices=("ivf", "pq", "ivfpq"), default="ivfpq")
+    pas.add_argument("--queries", type=int, default=8)
+    pas.add_argument("--k", type=int, default=5)
+    pas.set_defaults(fn=cmd_ann_serve)
 
     po = sub.add_parser("optimize")
     po.add_argument("--stores", required=True)
