@@ -370,29 +370,45 @@ def ivfpq_serve_topk(
     ADC sum JVM-side. This is the production ANN serving plan: the
     corpus contribution is n_probe/n_centroids of an m-bytes/vector
     table, read file-pruned from disk."""
-    import numpy as np
-
-    spark = embeddings.sparkSession
-    coarse_rows = TableStore(spark, os.path.join(root, "coarse")).read().collect()
-    C = np.array(
-        [v for _, v in sorted((int(r.cent_id), [int(x) for x in r.cv]) for r in coarse_rows)],
-        dtype=np.int64,
-    )
-    cb_rows = TableStore(spark, os.path.join(root, "codebooks")).read().collect()
-    m = max(int(r.j) for r in cb_rows) + 1
-    ksub = max(int(r.code) for r in cb_rows) + 1
-    by_j: dict[int, dict[int, list[int]]] = {}
-    for r in cb_rows:
-        by_j.setdefault(int(r.j), {})[int(r.code)] = [int(x) for x in r.c]
-    cbs = [
-        np.array([by_j[j][c] for c in range(ksub)], dtype=np.int64)
-        for j in range(m)
-    ]
     qrows = (
         embeddings.where(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
         .collect()
     )
+    return ivfpq_serve_rows(embeddings.sparkSession, root, qrows, k, n_probe)
+
+
+def ivfpq_serve_queries(
+    queries: DataFrame,
+    root: str,
+    k: int = SERVE_K,
+    n_probe: int = sim.IVFPQ_PROBE,
+) -> DataFrame:
+    """Serve an EXPLICIT query frame (vec_id, embedding) from the
+    persisted index — the entry point streaming serving uses per
+    micro-batch. The collect is bounded by the query batch, not the
+    corpus (per-query LUT construction is driver-side by design — the
+    same work a serving coordinator does per request)."""
+    qrows = queries.select("vec_id", "embedding").collect()
+    return ivfpq_serve_rows(queries.sparkSession, root, qrows, k, n_probe)
+
+
+def ivfpq_serve_rows(
+    spark: SparkSession,
+    root: str,
+    qrows,
+    k: int = SERVE_K,
+    n_probe: int = sim.IVFPQ_PROBE,
+) -> DataFrame:
+    import numpy as np
+
+    coarse_rows = TableStore(spark, os.path.join(root, "coarse")).read().collect()
+    C = np.array(
+        [v for _, v in sorted((int(r.cent_id), [int(x) for x in r.cv]) for r in coarse_rows)],
+        dtype=np.int64,
+    )
+    cbs = _read_codebooks(spark, root)
+    m = len(cbs)
     probe_rows = sim._ivfpq_query_probes(qrows, C, cbs, n_probe)
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cent_id long, lut array<array<bigint>>"

@@ -787,3 +787,57 @@ def funnel_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_serve_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_root: str,
+    results_root: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+):
+    """Streaming ANN serving over the PERSISTED index (ops/ann_index):
+    query vectors arrive as a parquet stream of (vec_id, embedding);
+    each micro-batch is answered from the index — probed-partition
+    reads only, no training — and the top-k results land exactly-once
+    in an idempotent-by-epoch TableStore (a replayed micro-batch
+    re-serves the same queries and the append is a no-op).
+
+    This is the full build-once / serve-forever lifecycle as a
+    Structured Streaming job: the index tables are the static side (a
+    deployment rebuilds them on schedule with the ann-build job), the
+    query stream is the hot path, and the per-batch driver work is the
+    LUT construction a serving coordinator performs per request.
+    Returns the StreamingQuery (availableNow trigger)."""
+    from pyspark.sql import types as T
+
+    from .ops import ann_index as ai
+    from .store import TableStore
+
+    QUERY_SCHEMA = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType())
+            ),
+        ]
+    )
+    results = TableStore(spark, results_root)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = ai.ivfpq_serve_queries(batch_df, index_root, k=k, n_probe=n_probe)
+        results.append(out.withColumnRenamed("query_id", "vec_id"), epoch_id)
+
+    queries = (
+        spark.readStream.schema(QUERY_SCHEMA).format("parquet").load(source_dir)
+    )
+    return (
+        queries.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -205,3 +205,27 @@ def test_incremental_append_ivfpq(spark, embs, tmp_root):
         # quantization error is exactly 0 — the planted duplicate must
         # surface with ADC distance exactly 0
         assert (q + 10_000, 0) in by_q[q], sorted(by_q[q])[:8]
+
+
+def test_compaction_after_appends_preserves_serving(spark, embs, tmp_root):
+    """Daily appends fragment the posting lists into per-batch small
+    files; the TableStore's OPTIMIZE-style compaction must rewrite
+    them per cent_id partition — atomically, serving results
+    bit-identical, file count strictly down. This is the maintenance
+    loop a deployed index runs beside ann-build/ann-serve."""
+    root = os.path.join(tmp_root, "ivf-compact")
+    ai.build_ivf_index(embs.where(F.col("vec_id") < 400), root)
+    for i in range(4):
+        lo, hi = 400 + i * 25, 425 + i * 25
+        ai.append_ivf_postings(
+            embs.where(f"vec_id >= {lo} AND vec_id < {hi}"), root, f"day-{i}"
+        )
+    store = TableStore(spark, os.path.join(root, "postings"))
+    before = sorted(map(tuple, ai.ivf_serve_topk(embs, root).collect()))
+    files_before = len(store.live_files())
+    res = store.compact_small_files(target_rows=100_000)
+    assert res["files_in"] > 0 and res["rows"] == 500
+    files_after = len(store.live_files())
+    assert files_after < files_before
+    after = sorted(map(tuple, ai.ivf_serve_topk(embs, root).collect()))
+    assert after == before
