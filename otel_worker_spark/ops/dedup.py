@@ -519,11 +519,15 @@ def verified_pairs(
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = "size(array_intersect(sh_a, sh_b))"
     union = "size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))"
-    # same broadcast rationale as ids: the pair set (and pairs⨝sh_a,
-    # still ≤ |cand| rows) is tiny next to the corpus, and without the
-    # hint the planner SMJs — shuffling the candidate SHINGLE frames
+    # broadcast ONLY the skinny (doc_a, doc_b) pair list. Broadcasting
+    # the pairs⨝sh_a frame (the r5 shape) shipped |cand| × ~1 KB
+    # shingle arrays through the DRIVER — two network copies plus
+    # driver heap — where letting the array-carrying rows flow through
+    # one hash exchange on doc_b moves the same bytes once,
+    # executor-to-executor (measured 7.3 s → 1.5 s at sf0.1, identical
+    # output). The doc_b key is a unique doc id — uniform, no skew.
     if small:
-        pairs = F.broadcast(F.broadcast(cand).join(a, "doc_a")).join(b, "doc_b")
+        pairs = F.broadcast(cand).join(a, "doc_a").join(b, "doc_b")
     else:
         pairs = cand.join(a, "doc_a").join(b, "doc_b")
     return (
