@@ -291,8 +291,14 @@ def _measure_secondary(cores: int) -> tuple[dict, dict]:
     (timings, errors): a failing query is RECORDED, not silently
     dropped (r5 ADVICE item 4), so a broken query cannot quietly keep
     its old headline number."""
+    from otel_worker_spark.fixtures import (
+        service_lookup_df,
+        token_sequences_from_events,
+    )
     from otel_worker_spark.ops import dedup as dd
     from otel_worker_spark.ops import similarity as sim
+    from otel_worker_spark.pipeline import PipelineStores, ingest_batch
+    from otel_worker_spark.queries import trace_summaries, traces_list
     from otel_worker_spark.registry import rel_pricing_summary
     from otel_worker_spark.session import get_spark
 
@@ -301,10 +307,23 @@ def _measure_secondary(cores: int) -> tuple[dict, dict]:
     )
     out: dict[str, float] = {}
     errors: dict[str, str] = {}
+    tmp = tempfile.mkdtemp(prefix="ows-bench-secondary-")
     try:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        # untimed setup for the store-backed queries: traces_list and
+        # trace_summaries read the span store, and their headline
+        # numbers are runs=2 inside the gated window — one slow window
+        # once printed a phantom 10x for them (r6: 0.4 s warm vs 4.2 s
+        # archived), so they get a second scoring window like the other
+        # secondary queries
+        tokens = token_sequences_from_events(spark, SF_DIR).repartition(64)
+        stores = PipelineStores(spark, os.path.join(tmp, "stores"))
+        ingest_batch(spark, tokens, service_lookup_df(spark), stores, batch_id=0)
+        spans = stores.spans.read(partition="traces")
         jobs = {
+            "traces_list": lambda: traces_list(spans).collect(),
+            "trace_summaries": lambda: trace_summaries(spans, limit=20).collect(),
             "dedup_minhash_pairs": lambda: dd.minhash_lsh_pairs(
                 docs, hash_impl="xxhash64"
             ).count(),
@@ -325,6 +344,7 @@ def _measure_secondary(cores: int) -> tuple[dict, dict]:
                 errors[name] = repr(exc)[:500]
         dd.release_persisted_signatures()
     finally:
+        shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
     return out, errors
 
@@ -587,13 +607,40 @@ def main() -> None:
         # describing the provenance of every merged value (r5 ADVICE
         # item 4). The clean verdict is applied at merge time against
         # the FINAL session median.
-        sec_before = _cpu_calibration_multicore()
-        sec_queries, sec_errors = _measure_secondary(CPUS)
-        sec_after = _cpu_calibration_multicore()
-        session_probes += [sec_before, sec_after]
-        detail["secondary_window"] = sec_queries
-        detail["secondary_errors"] = sec_errors
-        detail["secondary_probes"] = {"before": sec_before, "after": sec_after}
+        # bounded retry: a dirty secondary window previously just gave
+        # up (merge skipped, headline kept the possibly-noisy gated
+        # value — the r6 run archived trace_summaries 11.5 s from a
+        # window whose after-probe had dropped 40%). Re-run once after
+        # a cooldown when the provisional clean check fails; the merge
+        # below still re-judges the kept window against the FINAL
+        # session median.
+        sec_attempts = []
+        for sec_att in range(2):
+            sec_before = _cpu_calibration_multicore()
+            sec_queries, sec_errors = _measure_secondary(CPUS)
+            sec_after = _cpu_calibration_multicore()
+            session_probes += [sec_before, sec_after]
+            sec_attempts.append(
+                {
+                    "queries": sec_queries,
+                    "errors": sec_errors,
+                    "before": sec_before,
+                    "after": sec_after,
+                }
+            )
+            if _is_clean(min(sec_before, sec_after)):
+                break
+            time.sleep(15)
+        # keep the attempt with the best (highest) bracketing floor —
+        # the one measured under the least-contended host conditions
+        kept = max(sec_attempts, key=lambda a: min(a["before"], a["after"]))
+        detail["secondary_window"] = kept["queries"]
+        detail["secondary_errors"] = kept["errors"]
+        detail["secondary_probes"] = {
+            "before": kept["before"],
+            "after": kept["after"],
+            "attempts": len(sec_attempts),
+        }
 
     if os.environ.get("BENCH_SCALING", "1") != "0":
         # Fresh JVM per level (identical heap/GC state); each round runs

@@ -582,9 +582,15 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
     Returns ``(doc_id, component)`` for every node that appears in an
     edge (singletons absent — callers left-join and coalesce).
     """
+    # checkpoint the INPUT once before symmetrizing: the union below
+    # has the edge plan in BOTH branches, and Spark does not dedupe
+    # common subplans — an expensive upstream (dedup_groups feeds the
+    # whole LSH→verify pipeline in here) would run twice
+    base = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
     e = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where("src <> dst")
         .distinct()
         .localCheckpoint(eager=True)
