@@ -170,34 +170,52 @@ def ivf_serve_topk(
     then read ONLY the probed posting partitions and rerank with exact
     cosine. No training, no corpus-wide pass; the only exchange is the
     final per-query top-k window."""
+    import numpy as np
+
     spark = embeddings.sparkSession
     cent_rows = TableStore(spark, os.path.join(root, "centroids")).read().collect()
     cents = sorted((int(r.cent_id), [int(x) for x in r.c]) for r in cent_rows)
-    cent_structs = "array(" + ", ".join(
-        f"struct(CAST({cid} AS BIGINT) AS cent_id, {sim._scaled_arr_lit(v)} AS c)"
-        for cid, v in cents
-    ) + ")"
-    queries = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    # probe selection is DRIVER-side numpy over the collected centroid
+    # table and the ≤ n_queries query rows (both bounded — the same
+    # work a serving coordinator does per request; precedent: the PQ /
+    # IVF+PQ serve paths build their LUTs driver-side). The previous
+    # Spark probe job exploded an O(n_centroids · dim) literal struct
+    # array per call: ~1.5 s of analysis + a scheduled job to score
+    # 10 × 64 cosines. The accumulation below is the same dimension-
+    # sequential mul-then-add as the SQL left-fold (numpy never fuses),
+    # so every double — and the floor — lands bit-identically.
+    qrows = sorted(
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: int(r.vec_id),
     )
-    qcos = sim._cosine_spark("q", "cc.c")
-    qscored = queries.select(
-        "query_id", "q", F.explode(F.expr(cent_structs)).alias("cc")
-    ).select(
-        "query_id",
-        "q",
-        F.col("cc.cent_id").alias("cent_id"),
-        F.expr(f"CAST(floor(1000000.0 * {qcos}) AS BIGINT)").alias("sim_u"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim_u"), F.asc("cent_id"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "q", "cent_id")
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)  # int64 values, exact
+    cc = np.zeros(C.shape[0], dtype=np.float64)
+    for d in range(C.shape[1]):
+        cc = cc + C[:, d] * C[:, d]
+    c_norm = np.sqrt(cc)
+    probe_rows = []
+    for r in qrows:
+        q = np.array(r.embedding, dtype=np.float64)
+        dot = np.zeros(C.shape[0], dtype=np.float64)
+        qq = 0.0
+        for d in range(C.shape[1]):
+            dot = dot + q[d] * C[:, d]
+            qq = qq + q[d] * q[d]
+        denom = np.maximum(1e-300, np.sqrt(qq) * c_norm)
+        sim_u = np.floor(1_000_000.0 * (dot / denom)).astype(np.int64)
+        # (desc sim_u, asc cent_id) — the row_number tiebreak
+        order = np.lexsort((cids, -sim_u))[:n_probe]
+        for i in order:
+            probe_rows.append((int(r.vec_id), list(r.embedding), int(cids[i])))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q array<float>, cent_id long"
     )
     # the probed list set (≤ n_queries·n_probe ids) gates the FILE-level
     # read — unprobed lists never leave disk
-    probed = sorted({str(r.cent_id) for r in probes.select("cent_id").distinct().collect()})
+    probed = sorted({str(cid) for _, _, cid in probe_rows})
     assigned = (
         TableStore(spark, os.path.join(root, "postings"))
         .read(partitions=probed)

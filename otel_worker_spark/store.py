@@ -114,15 +114,38 @@ class TableStore:
         return os.path.join(self.root, "schema.json")
 
     def _save_schema(self, df: DataFrame) -> None:
-        if not os.path.exists(self._schema_path):
-            with open(self._schema_path, "w") as f:
-                f.write(df.schema.json())
+        # keep the stored schema the UNION of every batch's columns
+        # (additive evolution): reads pass it explicitly, so files
+        # missing a later column yield NULLs without the footer-reading
+        # job that option("mergeSchema") runs per relation
+        merged = df.schema
+        if os.path.exists(self._schema_path):
+            cur = self._load_schema()
+            names = {f.name for f in cur.fields}
+            added = [f for f in df.schema.fields if f.name not in names]
+            if not added:
+                return
+            merged = T.StructType(list(cur.fields) + added)
+        with open(self._schema_path, "w") as f:
+            f.write(merged.json())
 
     def _load_schema(self) -> T.StructType | None:
         if not os.path.exists(self._schema_path):
             return None
         with open(self._schema_path) as f:
             return T.StructType.fromJson(json.load(f))
+
+    def _read_files(self, fs: list[str]) -> DataFrame:
+        """One parquet relation over ``fs`` with the stored union
+        schema passed EXPLICITLY: files missing a later-added column
+        yield NULLs (same additive evolution ``mergeSchema`` gave),
+        but without the footer-reading driver job mergeSchema runs per
+        relation — the ANN serve path builds one relation per probed
+        partition, and those jobs dominated its warm latency."""
+        schema = self._load_schema()
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*fs)
+        return self.spark.read.option("mergeSchema", "true").parquet(*fs)
 
     # ---- operations ----
 
@@ -227,7 +250,7 @@ class TableStore:
             by_val.setdefault(parts.get(f, (None, None)), []).append(f)
         frames = []
         for (pcol, pval), fs in by_val.items():
-            df = self.spark.read.option("mergeSchema", "true").parquet(*fs)
+            df = self._read_files(fs)
             if pcol is not None:
                 df = df.withColumn(pcol, F.lit(pval))
             frames.append(df)
@@ -249,7 +272,7 @@ class TableStore:
             by_val.setdefault(rec.get("partition"), []).append(rec["file"])
         frames = []
         for pval, fs in by_val.items():
-            df = self.spark.read.option("mergeSchema", "true").parquet(*fs)
+            df = self._read_files(fs)
             if pcol is not None:
                 df = df.withColumn(pcol, F.lit(pval))
             frames.append(df)
@@ -407,11 +430,7 @@ class TableStore:
                 continue
             n_rows = sum(rows_of.get(f, 0) for f in fs)
             n_out = max(1, -(-n_rows // target_rows))  # ceil
-            df = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*fs)
-                .coalesce(n_out)
-            )
+            df = self._read_files(fs).coalesce(n_out)
             new_files, lin = self._write_files(df, "cmp")
             if pcol is not None:
                 for rec in lin:
