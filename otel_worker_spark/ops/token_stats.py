@@ -1,0 +1,459 @@
+"""Token-native corpus statistics over the north-rule input table
+(``doc_id, tokens: array<int32>, n_tok, source`` — BASELINE.json
+input_hint): BPE pair statistics, exact-substring duplicate spans
+(the Lee et al. 2021 "Deduplicating Training Data Makes Language
+Models Better" ExactSubstr operator re-expressed as DataFrame
+algebra), per-document duplication rates, and a distributed BPE
+vocabulary trainer.
+
+Everything here consumes the *token arrays themselves* — not the
+detokenized text — so the family composes with any upstream that
+produces the input-hint shape (the OTLP fixture tables, packed chunks
+from ``corpus.materialize_token_chunks``, or a real pre-tokenized
+training corpus).
+
+Scale shapes (audited like the rest of the repo — see SCALE.md):
+
+- **pair counts** — one narrow ``zip_with`` map then a single hash
+  exchange whose key space is the *pair vocabulary* (≤ |V|²; for the
+  byte vocab ≤ 64 Ki rows per map partition after partial agg), so
+  shuffle bytes are O(partitions · |V|²), independent of corpus rows.
+- **duplicate spans** — windows explode narrowly (L-token slices of
+  the array; no Python), then ONE span-keyed hash exchange. Partial
+  aggregation collapses high-frequency boilerplate windows map-side,
+  so the exchange carries ~|distinct spans| rows per partition, not
+  |corpus|·|positions|. The registry variant keys on the '-'-joined
+  token string so the DuckDB oracle can recompute the key exactly; at
+  10^12 rows you would key on an 8-byte rolling hash instead
+  (same plan, 8-byte keys — ``span_key_expr`` below provides it).
+- **per-doc dup stats** — the same window frame aggregated twice:
+  (span, doc)-keyed partial counts, a span-partition window to tag
+  spans seen in ≥2 docs, then a doc-keyed rollup. Two hash exchanges
+  total, both over per-(span,doc) rows.
+- **BPE training** — Lloyd-style driver loop like ``similarity``'s
+  k-means: each round is one pair-count aggregation (map-side
+  combine, |V|²-bounded exchange) plus an O(1)-row ``collect`` of the
+  argmax pair, then a whole-batch Arrow merge kernel rewrites the
+  sequences in place (flat values/offsets buffers, ``np.delete`` once
+  per round — no per-token Python). The corpus never shuffles during
+  training.
+
+Reference anchor: the reference engine has no token-corpus operators
+(its scope ends at OTLP ingest — ref: otel-worker-core/src/data.rs);
+this family is part of the beyond-reference training-data surface the
+graft brief mandates, alongside ops/dedup.py and ops/corpus.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+#: duplicate-span window width, in tokens. 16 bytes of the identity
+#: byte vocab ≈ the shortest span Lee et al. treat as memorizable;
+#: long enough that variable-field windows stay unique at small SF.
+SPAN_L = 16
+
+#: a span must appear in at least this many distinct documents to
+#: count as duplicated corpus text.
+SPAN_MIN_DOCS = 2
+
+#: first merge id minted by the BPE trainer (the identity byte vocab
+#: occupies 0..255).
+BPE_FIRST_ID = 256
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread an explode-amplified input across the cluster.
+
+    Window/pair explosion fans each row out ~n_tok× (≈900× on the
+    fixture corpus), so a token table read from a handful of small
+    files would otherwise run the whole fan-out stage on a handful of
+    cores. One round-robin exchange of the *narrow* token rows (KB/row)
+    buys ~n_tok× parallelism for the expensive stage. At production
+    scale the input arrives in thousands of partitions and this
+    no-ops — the guard fires only when partitions < defaultParallelism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _window_spans(tokens_df: DataFrame, L: int) -> DataFrame:
+    """(doc_id, span) for every L-token window of every document.
+
+    Pure Catalyst: ``transform(sequence(...))`` slices the array
+    JVM-side; docs shorter than L contribute no windows (the
+    ``where`` also keeps ``sequence`` ascending — Spark's sequence
+    auto-reverses when stop < start, which would fabricate windows).
+    """
+    return _spread(tokens_df.where(F.size("tokens") >= L)).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tokens) - {L} + 1),"
+                f" i -> concat_ws('-', slice(tokens, i, {L})))"
+            )
+        ).alias("span"),
+    )
+
+
+def span_key_expr(L: int = SPAN_L) -> F.Column:
+    """The production span key: xxhash64 of the window slice — 8
+    bytes on the wire instead of the '-'-joined string. Same plan as
+    the oracle-keyed variant; used by callers that don't need a
+    cross-engine-recomputable key."""
+    return F.expr(
+        f"transform(sequence(1, size(tokens) - {L} + 1),"
+        f" i -> xxhash64(concat_ws('-', slice(tokens, i, {L}))))"
+    )
+
+
+def _tok_cte() -> str:
+    """Shared oracle prelude: rebuild the token table from ``events``
+    via the fixture payload recipe (identity byte vocab)."""
+    from ..fixtures import DOC_ID, payload_sql, render
+
+    d = lambda s: render(s, "duckdb")
+    return f"""
+WITH p AS (
+  SELECT {d(DOC_ID)} AS doc_id, {d(payload_sql('duckdb'))} AS payload
+  FROM events
+), t AS (
+  SELECT doc_id,
+         [unicode(substr(payload, i, 1)) for i in range(1, length(payload) + 1)] AS toks
+  FROM p
+)"""
+
+
+# ---------------------------------------------------------- pair counts
+
+
+def bpe_pair_counts(tokens_df: DataFrame) -> DataFrame:
+    """Adjacent-token pair frequencies — the core BPE statistic.
+
+    ``zip_with`` over two shifted slices builds the pair structs
+    inside whole-stage codegen; the groupBy's key space is the pair
+    vocabulary, so partial aggregation bounds the exchange at |V|²
+    rows per map partition regardless of corpus size."""
+    pairs = _spread(tokens_df.where(F.size("tokens") >= 2)).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(tokens, 1, size(tokens) - 1),"
+                " slice(tokens, 2, size(tokens) - 1),"
+                " (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_pair_counts_sql() -> str:
+    return f"""{_tok_cte()}, pr AS (
+  SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2
+)
+SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS cnt
+FROM pr GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- duplicate spans
+
+
+def dup_spans(
+    tokens_df: DataFrame, L: int = SPAN_L, min_docs: int = SPAN_MIN_DOCS
+) -> DataFrame:
+    """Distinct L-token windows appearing in ≥ ``min_docs`` documents
+    — the corpus's duplicated substrings (shared boilerplate), with
+    how many documents and total occurrences carry each."""
+    return (
+        _window_spans(tokens_df, L)
+        .groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def dup_spans_sql(L: int = SPAN_L, min_docs: int = SPAN_MIN_DOCS) -> str:
+    """Oracle. The fixture vocab is the identity byte vocab and the
+    payload is ASCII, so grouping on raw ``substr`` windows is exactly
+    grouping on token windows — DuckDB groups the cheap strings and
+    converts only the (filtered) output rows to '-'-joined token ids
+    (32× faster than building per-position list slices)."""
+    return f"""{_tok_cte()}, w AS (
+  SELECT doc_id,
+         unnest([substr(payload, i, {L})
+                 for i in range(1, length(payload) - {L} + 2)]) AS raw
+  FROM p WHERE length(payload) >= {L}
+), g AS (
+  SELECT raw, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+  FROM w GROUP BY raw HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+SELECT array_to_string([unicode(substr(raw, j, 1)) for j in range(1, {L} + 1)], '-') AS span,
+       n_docs, n_occ
+FROM g
+"""
+
+
+def doc_dup_stats(tokens_df: DataFrame, L: int = SPAN_L) -> DataFrame:
+    """Per-document exact-substring duplication: total L-windows and
+    how many of them are spans shared with at least one other
+    document. ``n_dup_windows / n_windows`` is the Lee-et-al dup rate
+    (kept as two ints so the cross-engine value hash is exact)."""
+    per = (
+        _window_spans(tokens_df, L)
+        .groupBy("span", "doc_id")
+        .agg(F.count("*").alias("occ"))
+    )
+    flagged = per.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("span"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("occ").alias("n_windows"),
+        F.sum(
+            F.when(F.col("n_docs") >= SPAN_MIN_DOCS, F.col("occ")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_dup_windows"),
+    )
+
+
+def doc_dup_stats_sql(L: int = SPAN_L) -> str:
+    return f"""{_tok_cte()}, w AS (
+  SELECT doc_id,
+         unnest([substr(payload, i, {L})
+                 for i in range(1, length(payload) - {L} + 2)]) AS span
+  FROM p WHERE length(payload) >= {L}
+), per AS (
+  SELECT span, doc_id, count(*) AS occ FROM w GROUP BY span, doc_id
+), fl AS (
+  SELECT doc_id, occ, count(*) OVER (PARTITION BY span) AS n_docs FROM per
+)
+SELECT doc_id,
+       CAST(sum(occ) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n_docs >= {SPAN_MIN_DOCS} THEN occ ELSE 0 END) AS BIGINT)
+         AS n_dup_windows
+FROM fl GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------------------- BPE trainer
+
+
+def _greedy_pair_positions(
+    values: np.ndarray, offsets: np.ndarray, a: int, b: int
+) -> np.ndarray:
+    """Positions i where (values[i], values[i+1]) == (a, b), row
+    boundaries respected, overlapping matches resolved leftmost-first
+    (only possible when a == b)."""
+    if values.size < 2:
+        return np.empty(0, dtype=np.int64)
+    m = (values[:-1] == a) & (values[1:] == b)
+    if offsets.size > 2:
+        # a match starting at the last element of a row would pair
+        # across documents — mask it out (starts > 0 skips degenerate
+        # leading empty rows, whose start-1 would wrap to -1)
+        starts = offsets[1:-1]
+        starts = starts[starts > 0]
+        m[starts - 1] = False
+    idx = np.flatnonzero(m)
+    if idx.size == 0 or a != b:
+        return idx
+    # a == b: runs of consecutive positions overlap; keep every other
+    keep = np.ones(idx.size, dtype=bool)
+    prev = -2
+    for j, i in enumerate(idx):
+        if i == prev + 1:
+            keep[j] = False
+        else:
+            prev = i
+    return idx[keep]
+
+
+def _apply_merge_flat(
+    values: np.ndarray, offsets: np.ndarray, a: int, b: int, new_id: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One BPE merge over the whole batch: flat Arrow-style
+    values/offsets buffers in, same out. One vectorized scan + one
+    ``np.delete`` — no per-token Python."""
+    idx = _greedy_pair_positions(values, offsets, a, b)
+    if idx.size == 0:
+        return values, offsets
+    out = values.copy()
+    out[idx] = new_id
+    out = np.delete(out, idx + 1)
+    # deleted positions strictly inside their row ⇒ every offset drops
+    # by the number of deletions before it
+    new_offsets = offsets - np.searchsorted(idx + 1, offsets)
+    return out, new_offsets
+
+
+def _flat(tok_col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(tok_col, pa.ChunkedArray):
+        tok_col = tok_col.combine_chunks()
+    values = tok_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = tok_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # a sliced ListArray's values buffer is the unsliced parent —
+    # normalize so offsets start at 0 and values covers exactly them
+    values = values[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    return values, offsets
+
+
+def _rebuild(values: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(values.astype(np.int32), type=pa.int32()),
+    )
+
+
+def bpe_apply(
+    tokens_df: DataFrame, merges: Sequence[tuple[int, int, int]]
+) -> DataFrame:
+    """Re-encode ``tokens`` with an ordered merge list
+    ``[(a, b, new_id), ...]`` (rank order, as produced by
+    ``bpe_train``). Whole-batch Arrow kernel; all other columns pass
+    through untouched."""
+    merge_list = [(int(a), int(b), int(n)) for a, b, n in merges]
+    schema = tokens_df.schema
+    ti = schema.names.index("tokens")
+
+    def kernel(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            values, offsets = _flat(rb.column(ti))
+            for a, b, nid in merge_list:
+                values, offsets = _apply_merge_flat(values, offsets, a, b, nid)
+            arrays = [rb.column(j) for j in range(rb.num_columns)]
+            arrays[ti] = _rebuild(values, offsets)
+            yield pa.RecordBatch.from_arrays(arrays, schema=rb.schema)
+
+    return tokens_df.mapInArrow(kernel, schema)
+
+
+_MERGE_SCHEMA = T.StructType(
+    [
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("a", T.IntegerType()),
+        T.StructField("b", T.IntegerType()),
+        T.StructField("new_id", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def bpe_train(tokens_df: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Distributed BPE vocabulary induction: ``n_merges`` rounds of
+    (pair-count aggregation → O(1)-row argmax collect → Arrow merge
+    rewrite). Deterministic: ties broken by smallest (a, b).
+
+    Returns the merge table (rank, a, b, new_id, cnt). Iterative and
+    therefore not SQL-expressible — the registry records it as a
+    rows-only row; ``tests/test_token_stats.py`` pins equality
+    against a pure-Python reference trainer on the same corpus.
+    """
+    spark = tokens_df.sparkSession
+    cur = _spread(tokens_df.select("doc_id", "tokens")).persist()
+    merges: list[tuple[int, int, int, int, int]] = []
+    try:
+        for r in range(n_merges):
+            top = (
+                bpe_pair_counts(cur)
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < 2:
+                break
+            a, b, cnt = int(top[0]["a"]), int(top[0]["b"]), int(top[0]["cnt"])
+            new_id = BPE_FIRST_ID + r
+            merges.append((r, a, b, new_id, cnt))
+            nxt = bpe_apply(cur, [(a, b, new_id)]).persist()
+            nxt.count()  # materialize before releasing the parent
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def bpe_reference_train(
+    seqs: list[list[int]], n_merges: int = 8
+) -> list[tuple[int, int, int, int, int]]:
+    """Single-node reference implementation (test oracle for
+    ``bpe_train``): same argmax/tie-break/overlap semantics, plain
+    Python."""
+    cur = [list(s) for s in seqs]
+    out: list[tuple[int, int, int, int, int]] = []
+    for r in range(n_merges):
+        counts: dict[tuple[int, int], int] = {}
+        for s in cur:
+            i = 0
+            while i < len(s) - 1:
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + 1
+                i += 1
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], (-kv[0][0], -kv[0][1])))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        new_id = BPE_FIRST_ID + r
+        out.append((r, a, b, new_id, cnt))
+        nxt = []
+        for s in cur:
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    ns.append(new_id)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            nxt.append(ns)
+        cur = nxt
+    return out
+
+
+def bpe_compression(
+    tokens_df: DataFrame,
+    n_merges: int = 8,
+    merges: Sequence[tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """Per-source corpus compression achieved by the trained merges:
+    original vs encoded token totals (ints — the ratio is theirs to
+    divide). Trains on the given frame unless a pre-trained merge
+    list is supplied (the registry passes its cached one so the
+    compression row doesn't re-run the training loop)."""
+    if merges is None:
+        merges_rows = bpe_train(tokens_df, n_merges=n_merges).collect()
+        merges = [(r["a"], r["b"], r["new_id"]) for r in merges_rows]
+    enc = bpe_apply(tokens_df.select("source", "doc_id", "tokens"), merges)
+    return (
+        enc.select("source", F.size("tokens").alias("n_enc"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_enc").alias("enc_tokens"))
+        .join(
+            tokens_df.select("source", F.size("tokens").alias("n_orig"))
+            .groupBy("source")
+            .agg(F.sum("n_orig").alias("orig_tokens")),
+            "source",
+        )
+        .select("source", "n_docs", "orig_tokens", "enc_tokens")
+    )

@@ -46,6 +46,7 @@ from .ops import multimodal as mm
 from .ops import similarity as sim
 from .ops import text as tx
 from .ops import timeseries as ts
+from .ops import token_stats as tks
 from .pipeline import transform_batch
 from .queries import traces_list
 
@@ -100,6 +101,7 @@ def clear_parse_cache() -> None:
         except Exception:
             pass
     _PARSE_CACHE.clear()
+    _BPE_MERGES.clear()
     # the dedup family persists signature frames per plan — release
     # those too, so a sweep/gate session ends with a clean cache
     dd.release_persisted_signatures()
@@ -804,6 +806,39 @@ FROM ranked GROUP BY o_orderpriority
 # ----------------------------------------------------------- ops wrappers
 
 
+#: trained BPE merge lists per (sf_dir, n_merges) — n_merges rows of
+#: ints, driver-side. Deterministic given the (immutable) test data,
+#: so the compression row reuses the merges row's training instead of
+#: re-running the Lloyd-style loop.
+_BPE_MERGES: dict[tuple[str, int], list[tuple[int, int, int, int, int]]] = {}
+
+
+def _bpe_rows(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> list[tuple[int, int, int, int, int]]:
+    key = (sf_dir, n_merges)
+    if key not in _BPE_MERGES:
+        rows = tks.bpe_train(_tokens(spark, sf_dir), n_merges=n_merges).collect()
+        _BPE_MERGES[key] = [
+            (r["rank"], r["a"], r["b"], r["new_id"], r["cnt"]) for r in rows
+        ]
+    return _BPE_MERGES[key]
+
+
+def token_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction over the token table
+    (rows-only driver check — the trainer is iterative; pytest pins
+    it against a single-node reference implementation)."""
+    return spark.createDataFrame(_bpe_rows(spark, sf_dir), tks._MERGE_SCHEMA)
+
+
+def token_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression achieved by the trained merges (reuses
+    the cached training from ``token_bpe_merges``)."""
+    merges = [(a, b, n) for _, a, b, n, _ in _bpe_rows(spark, sf_dir)]
+    return tks.bpe_compression(_tokens(spark, sf_dir), merges=merges)
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -823,6 +858,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # VERDICT r5 next-round #6), then the freshest tail. No row's
     # driver verification goes >2 rounds stale.
     return {
+        # --- round-6 token-corpus family (never driver-verified):
+        # the north-rule payload is pre-tokenized sequences, so the
+        # engine gets token-NATIVE corpus statistics — BPE pair
+        # counts, exact-substring duplicate spans (Lee et al. 2021
+        # ExactSubstr as DataFrame algebra), per-doc dup rates, and a
+        # distributed BPE trainer (rows-only: iterative; pytest pins
+        # it to a single-node reference trainer)
+        "token_pair_counts": lambda s, d: tks.bpe_pair_counts(_tokens(s, d)),
+        "token_dup_spans": lambda s, d: tks.dup_spans(_tokens(s, d)),
+        "token_doc_dup_stats": lambda s, d: tks.doc_dup_stats(_tokens(s, d)),
+        "token_bpe_merges": token_bpe_merges,
+        "token_bpe_compression": token_bpe_compression,
         # --- round-6 additions (never driver-verified) lead
         # ANN build/serve split (VERDICT r5 next-round #2): the serve
         # path reads PERSISTED index tables (TableStore: trained
@@ -940,6 +987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # ordered to mirror queries() — never-driver-verified entries first
     return {
+        "token_pair_counts": tks.bpe_pair_counts_sql(),
+        "token_dup_spans": tks.dup_spans_sql(),
+        "token_doc_dup_stats": tks.doc_dup_stats_sql(),
+        # token_bpe_merges / token_bpe_compression: iterative trainer,
+        # rows-only by design (pytest pins the merge sequence)
         "ann_ivf_serve_topk": ai.ann_ivf_serve_sql(),
         "ann_pq_serve_topk": ai.ann_pq_serve_sql(),
         "ann_ivfpq_serve_topk": ai.ann_ivfpq_serve_sql(),

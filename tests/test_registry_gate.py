@@ -29,13 +29,25 @@ def con():
     return c
 
 
+#: rows-only by design: the BPE trainer is iterative (argmax + merge
+#: per round), not SQL-expressible — test_token_stats.py pins the
+#: merge sequence against a single-node reference trainer instead.
+ROWS_ONLY = {"token_bpe_merges", "token_bpe_compression"}
+
+
 def test_every_query_has_an_oracle_or_documented_exception():
     missing = set(_QUERIES) - set(_ORACLES)
-    # no rows-only entries remain — every operator is value-hash checked
-    assert missing == set()
+    assert missing == ROWS_ONLY
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_entries_run(name, spark):
+    df = _QUERIES[name](spark, SF_DIR)
+    assert len(df.columns) > 0
+    assert df.count() >= 1
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_registry_pair(name, spark, con):
     sdf = _QUERIES[name](spark, SF_DIR)
     a = sdf.toPandas()

@@ -32,8 +32,10 @@ _ORACLES = registry.oracle_sql()
 
 def test_every_query_has_oracle_or_is_whitelisted():
     no_oracle = set(_QUERIES) - set(_ORACLES)
-    # every registry query carries a DuckDB oracle (rows+schema+hash)
-    assert no_oracle == set()
+    # every registry query carries a DuckDB oracle (rows+schema+hash),
+    # except the iterative BPE trainer rows (rows-only by design —
+    # pinned against a single-node reference in test_token_stats.py)
+    assert no_oracle == {"token_bpe_merges", "token_bpe_compression"}
     assert set(_ORACLES) <= set(_QUERIES)
 
 

@@ -1,0 +1,158 @@
+"""Token-native corpus statistics (ops/token_stats.py): DuckDB oracle
+equality for the SQL-expressible ops, single-node-reference equality
+for the iterative BPE trainer, and Arrow merge-kernel edge cases."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from otel_worker_spark.fixtures import token_sequences_from_events
+from otel_worker_spark.ops import token_stats as tks
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"create view events as select * from '{SF_DIR}/events.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def tok(spark):
+    t = token_sequences_from_events(spark, SF_DIR).persist()
+    yield t
+    t.unpersist()
+
+
+def assert_match(sdf, con, sql, min_rows=1):
+    a = sdf.toPandas()
+    b = con.sql(sql).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert len(a) == len(b) >= min_rows
+    assert a.equals(b)
+
+
+# ------------------------------------------------------- oracle parity
+
+
+def test_pair_counts_oracle(spark, con, tok):
+    assert_match(tks.bpe_pair_counts(tok), con, tks.bpe_pair_counts_sql(), 100)
+
+
+def test_dup_spans_oracle(spark, con, tok):
+    assert_match(tks.dup_spans(tok), con, tks.dup_spans_sql(), 100)
+
+
+def test_doc_dup_stats_oracle(spark, con, tok):
+    assert_match(tks.doc_dup_stats(tok), con, tks.doc_dup_stats_sql(), 500)
+
+
+def test_dup_spans_finds_planted_boilerplate(spark):
+    """Two docs sharing one 16-token run (and nothing else long
+    enough) yield exactly the shared windows; the unique doc none."""
+    shared = list(range(100, 100 + 20))  # 20 tokens → 5 shared windows
+    rows = [
+        (1, [1] * 3 + shared, len(shared) + 3, "a"),
+        (2, shared + [2] * 3, len(shared) + 3, "a"),
+        (3, list(range(500, 560)), 60, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>, n_tok int, source string")
+    got = {r["span"]: (r["n_docs"], r["n_occ"]) for r in tks.dup_spans(df).collect()}
+    want_spans = {
+        "-".join(str(t) for t in shared[i : i + tks.SPAN_L])
+        for i in range(len(shared) - tks.SPAN_L + 1)
+    }
+    assert set(got) == want_spans
+    assert all(v == (2, 2) for v in got.values())
+
+
+# ----------------------------------------------------------- BPE kernel
+
+
+def _ref_apply(s, merges):
+    for a, b, nid in merges:
+        ns, i = [], 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                ns.append(nid)
+                i += 2
+            else:
+                ns.append(s[i])
+                i += 1
+        s = ns
+    return s
+
+
+def test_bpe_apply_overlap_and_boundaries(spark):
+    """Chained equal pairs merge leftmost-first; a pair split across
+    two documents must NOT merge."""
+    rows = [
+        (1, [7, 7, 7, 7]),  # → [300, 300]
+        (2, [7, 7, 7]),  # → [300, 7]
+        (3, [1, 7]),  # ends with a …
+        (4, [7, 2]),  # … next row starts with b: no cross-row merge
+        (5, []),  # empty row survives
+        (6, [7]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in tks.bpe_apply(df, [(7, 7, 300)]).collect()
+    }
+    assert got == {
+        1: [300, 300],
+        2: [300, 7],
+        3: [1, 7],
+        4: [7, 2],
+        5: [],
+        6: [7],
+    }
+
+
+def test_bpe_apply_matches_reference_on_corpus(spark, tok):
+    merges = [(34, 58, 256), (256, 34, 257), (44, 34, 258)]
+    sample = tok.select("doc_id", "tokens").limit(200)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in tks.bpe_apply(sample, merges).collect()
+    }
+    for r in sample.collect():
+        assert got[r["doc_id"]] == _ref_apply(list(r["tokens"]), merges)
+
+
+def test_bpe_train_matches_reference(spark, tok):
+    got = [tuple(r) for r in tks.bpe_train(tok, n_merges=6).collect()]
+    seqs = [list(r["tokens"]) for r in tok.select("tokens").collect()]
+    assert got == tks.bpe_reference_train(seqs, n_merges=6)
+    # ids minted in rank order from BPE_FIRST_ID, counts non-increasing
+    assert [m[3] for m in got] == [tks.BPE_FIRST_ID + i for i in range(len(got))]
+    assert all(got[i][4] >= got[i + 1][4] for i in range(len(got) - 1))
+
+
+def test_bpe_compression_shrinks(spark, tok):
+    from otel_worker_spark import registry
+
+    comp = registry.token_bpe_compression(spark, SF_DIR).collect()
+    assert len(comp) >= 5
+    for r in comp:
+        assert 0 < r["enc_tokens"] < r["orig_tokens"]
+    # merges cache is shared with the merges row
+    m = registry.token_bpe_merges(spark, SF_DIR).collect()
+    assert len(m) == 8
+
+
+def test_span_key_expr_is_eight_byte_hash(spark, tok):
+    n = (
+        tok.limit(5)
+        .select(F.explode(tks.span_key_expr()).alias("k"))
+        .where(F.col("k").isNotNull())
+        .count()
+    )
+    assert n > 0
