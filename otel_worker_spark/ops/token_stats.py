@@ -108,6 +108,33 @@ def _window_spans(tokens_df: DataFrame, L: int) -> DataFrame:
     )
 
 
+def _fanout_partitions(df: DataFrame) -> int:
+    """Partition count for the window-set exchange. The span/key agg
+    has mostly-UNIQUE keys, so a vanilla groupBy's map-side partial
+    hash map holds ~its whole input (measured: 2 GB organic spill at
+    sf0.1/16 partitions). Repartitioning BY THE GROUP KEY first moves
+    the same bytes as the failed partial agg would, but each reduce
+    task then owns windows/n keys — sized 4× the session's shuffle
+    parallelism so a task's hash map stays comfortably in memory
+    (explicit numPartitions also opts the exchange out of AQE
+    coalescing, which would rebuild the oversized partitions)."""
+    spark = df.sparkSession
+    try:
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        base = spark.sparkContext.defaultParallelism
+    return 4 * max(base, spark.sparkContext.defaultParallelism)
+
+
+def _window_keys(tokens_df: DataFrame, L: int) -> DataFrame:
+    """(doc_id, k) for every L-token window — the production 8-byte
+    key form of ``_window_spans`` (nothing wider than (hash, doc_id)
+    ever crosses an exchange)."""
+    return _spread(tokens_df.where(F.size("tokens") >= L)).select(
+        "doc_id", F.explode(span_key_expr(L)).alias("k")
+    )
+
+
 def span_key_expr(L: int = SPAN_L) -> F.Column:
     """The production span key: xxhash64 of the window slice — 8
     bytes on the wire instead of the '-'-joined string. Same plan as
@@ -180,8 +207,9 @@ def dup_spans(
     """Distinct L-token windows appearing in ≥ ``min_docs`` documents
     — the corpus's duplicated substrings (shared boilerplate), with
     how many documents and total occurrences carry each."""
+    wins = _window_spans(tokens_df, L)
     return (
-        _window_spans(tokens_df, L)
+        wins.repartition(_fanout_partitions(wins), "span")
         .groupBy("span")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -217,13 +245,24 @@ def doc_dup_stats(tokens_df: DataFrame, L: int = SPAN_L) -> DataFrame:
     how many of them are spans shared with at least one other
     document. ``n_dup_windows / n_windows`` is the Lee-et-al dup rate
     (kept as two ints so the cross-engine value hash is exact)."""
+    wins = _window_keys(tokens_df, L)
+    # one key-partitioned exchange serves the (k, doc) pre-agg, the
+    # per-key doc-count window, AND the dup flagging: HashPartitioning
+    # on k satisfies the (k, doc_id) clustering and the window's
+    # partitionBy, so nothing re-shuffles until the tiny doc rollup.
+    # Keys are xxhash64 of the window (8 bytes on the wire instead of
+    # the '-'-joined string): a collision would merge two spans with
+    # probability ~|windows|²/2^65 — deterministic for a given corpus,
+    # disproven against the string-keyed oracle at every gate scale;
+    # at 10^12 rows you would widen to a (xxhash64(s), xxhash64(s‖x))
+    # 128-bit pair, same plan.
     per = (
-        _window_spans(tokens_df, L)
-        .groupBy("span", "doc_id")
+        wins.repartition(_fanout_partitions(wins), "k")
+        .groupBy("k", "doc_id")
         .agg(F.count("*").alias("occ"))
     )
     flagged = per.withColumn(
-        "n_docs", F.count("*").over(Window.partitionBy("span"))
+        "n_docs", F.count("*").over(Window.partitionBy("k"))
     )
     return flagged.groupBy("doc_id").agg(
         F.sum("occ").alias("n_windows"),

@@ -434,6 +434,10 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES), help="comma list, or 'all' for every registry query")
     ap.add_argument("--json-out", default="SCALE_AUDIT.json")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge this run's query rows into the existing "
+                    "json (registry order) instead of replacing the whole "
+                    "sweep — for targeted re-audits at the SAME sf/cpus")
     ap.add_argument("--write", action="store_true", help="refresh SCALE.md's measured table")
     ap.add_argument("--decade", action="store_true",
                     help="run the ×10 (≈sf1) heavy-family probe and merge "
@@ -471,6 +475,17 @@ def main() -> None:
         for key in ("decade_probe",):
             if key in prior:
                 result[key] = prior[key]
+        if args.merge:
+            import __spark_entry__ as entry
+
+            order = list(entry.queries().keys())
+            allq = {**prior.get("queries", {}), **result["queries"]}
+            result["queries"] = {n: allq[n] for n in order if n in allq}
+            # keep prior-only top-level sections this run didn't produce
+            # (spill_probe, serve_note, ...)
+            for k, v in prior.items():
+                if k not in result and k != "queries":
+                    result[k] = v
     with open(args.json_out, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "queries"}))
