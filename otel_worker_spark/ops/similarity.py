@@ -608,17 +608,12 @@ def ivf_kmeans_topk(
     )
 
 
-def ivf_kmeans_topk_sql(
-    n_queries: int = 8,
-    k: int = 5,
-    n_centroids: int = N_CENTROIDS,
-    n_probe: int = N_PROBE,
-    iters: int = KMEANS_ITERS,
-) -> str:
-    """DuckDB twin of the FULL pipeline — Lloyd iterations included —
-    generated as a CTE chain (q → c0 → a1 → c1 → … → assignment →
-    probes → rerank), so the oracle check covers the trained centroids
-    themselves, not just the final top-k."""
+def _lloyd_assigned_cte(n_centroids: int, iters: int) -> str:
+    """The shared DuckDB replay of quantized Lloyd training + final
+    assignment, as a CTE prefix ``WITH q → c0 → a1/s1/c1 → … →
+    assigned(vec_id, cent_id)``. Used by ``ivf_kmeans_topk_sql`` and
+    ``semantic_dedup_sql`` so both oracles cover the trained centroids
+    themselves, not just their downstream joins."""
     cd = "[CAST(c[i] AS DOUBLE) / 1000000.0 for i in range(1, len(c) + 1)]"
     dim = EMB_DIM
     parts = [
@@ -657,8 +652,6 @@ def ivf_kmeans_topk_sql(
 )"""
         )
     fin = f"c{iters}"
-    qcos = _cosine_duck("qq.q", "c.cd")
-    cos = _cosine_duck("p.q", "e.embedding")
     parts.append(
         f""", assigned AS (
   SELECT vec_id, cent_id FROM (
@@ -668,7 +661,28 @@ def ivf_kmeans_topk_sql(
                                        c.cent_id ASC) AS rn
     FROM q, {fin} c
   ) t WHERE rn = 1
-), qq AS (
+)"""
+    )
+    return "".join(parts)
+
+
+def ivf_kmeans_topk_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    iters: int = KMEANS_ITERS,
+) -> str:
+    """DuckDB twin of the FULL pipeline — Lloyd iterations included —
+    generated as a CTE chain (q → c0 → a1 → c1 → … → assignment →
+    probes → rerank), so the oracle check covers the trained centroids
+    themselves, not just the final top-k."""
+    fin = f"c{iters}"
+    qcos = _cosine_duck("qq.q", "c.cd")
+    cos = _cosine_duck("p.q", "e.embedding")
+    parts = [_lloyd_assigned_cte(n_centroids, iters)]
+    parts.append(
+        f""", qq AS (
   SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {n_queries}
 ), probes AS (
   SELECT query_id, q, cent_id FROM (
@@ -694,6 +708,95 @@ SELECT query_id, rank, neighbor_id, cosine_u FROM (
 ) t WHERE rank <= {k}"""
     )
     return "".join(parts)
+
+
+# -------------------------------------------------- semantic dedup
+
+#: intra-cluster cosine above which two embeddings are semantic
+#: duplicates (floor-scaled ×10^6 in both engines). Matches the
+#: embedding_near_dup threshold so the two operators are comparable
+#: on the same corpus; a real deployment tunes this per-embedding-
+#: model (SemDeDup uses ~0.95+ on normalized LLM embeddings).
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then mark intra-cluster cosine near-duplicates — keeping
+    the smallest vec_id of each duplicate set (deterministic stand-in
+    for the paper's keep-farthest-from-centroid rule, which would be
+    oracle-exact too but adds nothing to the plan shape).
+
+    Plan: trained-centroid assignment is the zero-exchange literal
+    fold (``kmeans_centroids`` — corpus never shuffles during
+    training); the only corpus exchange is ONE hash repartition on
+    cent_id for the within-cluster self-join. Pair work is bounded by
+    the largest cluster (Σ n_c² ≪ n² — the entire point of
+    clustering first); at 10^12 rows you scale n_centroids with the
+    corpus so clusters stay ~constant-sized, which also keeps the
+    self-join's skew bounded. Returns (vec_id, cent_id, is_dup)."""
+    cents = kmeans_centroids(embeddings, n_centroids, iters)
+    lits = [
+        (cid, _scaled_arr_lit(v), _norm_lit([x / 1000000.0 for x in v]))
+        for cid, v in cents
+    ]
+    assigned = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("__nrm", F.expr(_norm_expr("embedding")))
+        .select(
+            "vec_id",
+            "embedding",
+            (-_argmax_centroid("embedding", lits, "__nrm")["neg_cent"]).alias(
+                "cent_id"
+            ),
+        )
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    cos = _cosine_spark("x.embedding", "y.embedding")
+    dup_ids = (
+        x.join(y, "cent_id")
+        .where(F.expr("x.vec_id > y.vec_id"))
+        .where(
+            F.expr(f"CAST(floor(1000000.0 * {cos}) AS BIGINT)")
+            >= int(threshold * 1_000_000)
+        )
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.select("vec_id", "cent_id")
+        .join(dup_ids.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id", "cent_id", F.coalesce("is_dup", F.lit(0)).alias("is_dup")
+        )
+    )
+
+
+def semantic_dedup_sql(
+    n_centroids: int = N_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    """Oracle: replays the full Lloyd training (shared CTE), then the
+    same intra-cluster pair rule."""
+    cos = _cosine_duck("ex.embedding", "ey.embedding")
+    return f"""{_lloyd_assigned_cte(n_centroids, iters)}, dup AS (
+  SELECT DISTINCT x.vec_id AS vec_id
+  FROM assigned x JOIN assigned y USING (cent_id)
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE x.vec_id > y.vec_id
+    AND CAST(floor(1000000.0 * {cos}) AS BIGINT) >= {int(threshold * 1_000_000)}
+)
+SELECT a.vec_id, a.cent_id,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM assigned a LEFT JOIN dup d USING (vec_id)
+"""
 
 
 def embedding_near_dup_sql(threshold: float = 0.35, n_planes: int = 6) -> str:

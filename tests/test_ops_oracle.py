@@ -195,3 +195,18 @@ def test_minhash_arrow_fold_matches_catalyst(spark, docs):
     }
     arw = {r.doc_id: list(r.sig) for r in D._minhash_fold_arrow(hashed, 128).collect()}
     assert cat == arw and len(cat) == docs.count()
+
+
+def test_semantic_dedup_oracle(spark, con, embs):
+    """SemDeDup: trained-cluster assignment + intra-cluster cosine
+    pruning, exact vs the Lloyd-replay oracle; dup marking must be
+    keep-smallest-id (no cluster may have every member marked dup)."""
+    sdf = sim.semantic_dedup(embs)
+    assert_match(sdf, con, sim.semantic_dedup_sql(), min_rows=500)
+    rows = sdf.collect()
+    by_cent: dict[int, list[int]] = {}
+    for r in rows:
+        by_cent.setdefault(r["cent_id"], []).append(r["is_dup"])
+    # every cluster retains at least one survivor
+    assert all(0 in flags for flags in by_cent.values())
+    assert any(1 in flags for flags in by_cent.values())
