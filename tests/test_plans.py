@@ -310,3 +310,55 @@ def test_corpus_plan_shapes(spark):
 
     s = plan_of(cp.tfidf_topk(d))
     assert "CartesianProduct" not in s               # N arrives as broadcast 1-row
+
+
+def test_token_dup_spans_plan_shape(spark):
+    """The dup-span family's load-bearing plan properties: the spread
+    + key repartition are the ONLY exchanges before the aggregate
+    (repartition-by-the-group-key replaces the doomed mostly-unique-
+    key partial agg, measured 2 GB organic spill without it), and
+    doc_dup_stats serves its (k,doc) pre-agg, per-key window, and dup
+    flagging from the one key-partitioned exchange."""
+    from otel_worker_spark.ops import token_stats as tks
+
+    tok = token_sequences_from_events(spark, SF_DIR)
+    # force the final (non-AQE-rewritten) plan by collecting
+    dup = tks.dup_spans(tok)
+    dup.collect()
+    s = dup._jdf.queryExecution().executedPlan().toString()
+    final = s.split("== Initial Plan ==")[0]
+    # spread + repartition(span): 2 exchanges, the groupBy adds none
+    assert final.count("Exchange") == 2, final
+    stats = tks.doc_dup_stats(tok)
+    stats.collect()
+    s2 = stats._jdf.queryExecution().executedPlan().toString()
+    final2 = s2.split("== Initial Plan ==")[0]
+    # spread + repartition(k) + doc rollup: 3 exchanges, window adds none
+    assert final2.count("Exchange") == 3, final2
+    assert "xxhash64" in final2  # 8-byte keys, not span strings
+
+
+def test_token_pair_counts_plan_shape(spark):
+    from otel_worker_spark.ops import token_stats as tks
+
+    tok = token_sequences_from_events(spark, SF_DIR)
+    pc = tks.bpe_pair_counts(tok)
+    pc.collect()
+    final = pc._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # spread + the pair-vocab agg exchange; partial agg bounds the
+    # latter at |V|^2 rows per map partition
+    assert final.count("Exchange") == 2, final
+    assert "zip_with" in final  # pairs built JVM-side, no Python
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """The within-cluster self-join must be a hash equi-join on
+    cent_id — never a cartesian/BNLJ over the corpus."""
+    from otel_worker_spark.ops import similarity as sim
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sd = sim.semantic_dedup(embs)
+    sd.collect()
+    final = sd._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
