@@ -710,6 +710,87 @@ SELECT query_id, rank, neighbor_id, cosine_u FROM (
     return "".join(parts)
 
 
+# -------------------------------------------------- recall evaluation
+
+
+def recall_eval(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Index-quality evaluation: recall@k of the k-means-trained IVF
+    against the exact cosine top-k on the same corpus — the standard
+    acceptance gate before an ANN index serves production traffic
+    (run it on a sampled query set after every build/append).
+
+    Both rankings are deterministic (floor-scaled scores, id-asc tie
+    break), so recall is an exact integer statistic: per query,
+    ``hits`` = |exact∩approx|, ``recall_u`` = floor(1e6·hits/n_exact)
+    (int→double casts, one IEEE divide/multiply — bit-identical in
+    both engines).
+
+    Scale shape: the two top-k pipelines keep their own plans (exact:
+    broadcast nested loop; IVF: zero-exchange assignment + broadcast
+    probes); their outputs are n_queries·k rows, so everything
+    downstream — the intersection join and the per-query rollup — is
+    broadcast-sized regardless of corpus scale."""
+    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id")
+    approx = ivf_kmeans_topk(
+        embeddings, n_queries, k, n_centroids, n_probe, iters
+    ).select("query_id", "neighbor_id")
+    per = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        per.join(hits, "query_id", "left")
+        .na.fill({"hits": 0})
+        .select(
+            "query_id",
+            "n_exact",
+            "hits",
+            F.expr(
+                "CAST(floor(1000000.0 * (CAST(hits AS DOUBLE)"
+                " / CAST(n_exact AS DOUBLE))) AS BIGINT)"
+            ).alias("recall_u"),
+        )
+    )
+
+
+def recall_eval_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    iters: int = KMEANS_ITERS,
+) -> str:
+    """Oracle: both top-k pipelines replayed verbatim (the IVF side
+    includes the full Lloyd training CTE), intersected per query."""
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({cosine_topk_sql(n_queries, k)}) e
+), approx AS (
+  SELECT query_id, neighbor_id
+  FROM ({ivf_kmeans_topk_sql(n_queries, k, n_centroids, n_probe, iters)}) a
+), per AS (
+  SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1
+), hits AS (
+  SELECT query_id, count(*) AS hits
+  FROM exact JOIN approx USING (query_id, neighbor_id) GROUP BY 1
+)
+SELECT p.query_id, p.n_exact,
+       coalesce(h.hits, 0) AS hits,
+       CAST(floor(1000000.0 * (CAST(coalesce(h.hits, 0) AS DOUBLE)
+                               / CAST(p.n_exact AS DOUBLE))) AS BIGINT) AS recall_u
+FROM per p LEFT JOIN hits h USING (query_id)
+"""
+
+
 # -------------------------------------------------- semantic dedup
 
 #: intra-cluster cosine above which two embeddings are semantic

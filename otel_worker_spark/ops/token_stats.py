@@ -293,6 +293,77 @@ FROM fl GROUP BY doc_id
 """
 
 
+# ------------------------------------------------- bigram typicality
+
+
+def bigram_typicality(tokens_df: DataFrame) -> DataFrame:
+    """Bigram-LM document quality score (CCNet-style: score each
+    document by how typical its token transitions are under a model
+    trained on the corpus itself; outliers in either direction are
+    filter candidates).
+
+    The model is the MLE bigram transition table P(b | a) =
+    cnt(a,b) / cnt(a,·). Real deployments sum log-probs; cross-engine
+    float log() is not bit-portable (libm vs Math.log last-ulp), so
+    the score is kept exactly verifiable instead: each pair's
+    probability is quantized ONCE on the |V|²-bounded pair table
+    (p_u = floor(1e6·cnt/ctx) — int→double casts and one IEEE divide/
+    multiply, bit-identical in both engines), and the per-doc score is
+    an order-independent BIGINT sum of those quanta. ``score_u /
+    (1e6·n_pairs)`` is the mean transition probability.
+
+    Scale shape: pair counts and context totals are |V|²/|V|-bounded
+    aggregates (map-side combine); the probability table is tiny →
+    broadcast to the per-doc scoring join, so the only corpus-sized
+    exchange is the final doc_id rollup."""
+    counts = bpe_pair_counts(tokens_df)
+    ctx = counts.groupBy("a").agg(F.sum("cnt").alias("ctx"))
+    prob = counts.join(ctx, "a").select(
+        "a",
+        "b",
+        F.expr(
+            "CAST(floor(1000000.0 * (CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("p_u"),
+    )
+    pairs = _spread(tokens_df.where(F.size("tokens") >= 2)).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(tokens, 1, size(tokens) - 1),"
+                " slice(tokens, 2, size(tokens) - 1),"
+                " (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    return (
+        pairs.join(F.broadcast(prob), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"), F.sum("p_u").alias("score_u"))
+    )
+
+
+def bigram_typicality_sql() -> str:
+    return f"""{_tok_cte()}, pr AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+    FROM t WHERE len(toks) >= 2
+  ) u
+), cnts AS (
+  SELECT a, b, count(*) AS cnt FROM pr GROUP BY 1, 2
+), ctx AS (
+  SELECT a, sum(cnt) AS ctx FROM cnts GROUP BY 1
+), prob AS (
+  SELECT a, b,
+         CAST(floor(1000000.0 * (CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)))
+              AS BIGINT) AS p_u
+  FROM cnts JOIN ctx USING (a)
+)
+SELECT doc_id, count(*) AS n_pairs, CAST(sum(p_u) AS BIGINT) AS score_u
+FROM pr JOIN prob USING (a, b) GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------------------- BPE trainer
 
 

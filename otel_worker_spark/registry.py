@@ -865,6 +865,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ExactSubstr as DataFrame algebra), per-doc dup rates, and a
         # distributed BPE trainer (rows-only: iterative; pytest pins
         # it to a single-node reference trainer)
+        # bigram-LM document typicality (CCNet-style quality score,
+        # exactly verifiable: per-pair probs quantized once on the
+        # |V|²-bounded table, per-doc score = BIGINT sum)
+        "token_bigram_typicality": lambda s, d: tks.bigram_typicality(
+            _tokens(s, d)
+        ),
+        # ANN index acceptance gate: recall@k of the trained IVF vs
+        # exact cosine top-k, as exact integer statistics (the oracle
+        # replays BOTH pipelines, Lloyd training included)
+        "ann_recall_eval": lambda s, d: sim.recall_eval(_embs(s, d)),
         "token_pair_counts": lambda s, d: tks.bpe_pair_counts(_tokens(s, d)),
         "token_dup_spans": lambda s, d: tks.dup_spans(_tokens(s, d)),
         "token_doc_dup_stats": lambda s, d: tks.doc_dup_stats(_tokens(s, d)),
@@ -991,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # ordered to mirror queries() — never-driver-verified entries first
     return {
+        "token_bigram_typicality": tks.bigram_typicality_sql(),
+        "ann_recall_eval": sim.recall_eval_sql(),
         "token_pair_counts": tks.bpe_pair_counts_sql(),
         "token_dup_spans": tks.dup_spans_sql(),
         "token_doc_dup_stats": tks.doc_dup_stats_sql(),

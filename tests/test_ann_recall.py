@@ -111,3 +111,22 @@ def test_pq_rerank_recall_beats_raw_pq(frames):
     print(f"pq rerank recall@5 = {rr:.3f} (raw {raw:.3f})")
     assert rr > raw
     assert rr >= 0.3
+
+
+def test_recall_eval_matches_set_intersection(frames):
+    """The recall_eval OPERATOR must report exactly the recall this
+    file computes by hand from the two collected rankings — per query,
+    not just in aggregate — and quantize it as floor(1e6·hits/k)."""
+    e, exact = frames
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_kmeans_topk(e).collect()
+    }
+    rows = {r.query_id: r for r in sim.recall_eval(e).collect()}
+    assert set(rows) == {q for q, _ in exact}
+    for q, r in rows.items():
+        ex_q = {n for qq, n in exact if qq == q}
+        ap_q = {n for qq, n in approx if qq == q}
+        assert r.n_exact == len(ex_q)
+        assert r.hits == len(ex_q & ap_q)
+        assert r.recall_u == int(1000000 * r.hits / r.n_exact)

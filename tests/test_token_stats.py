@@ -156,3 +156,42 @@ def test_span_key_expr_is_eight_byte_hash(spark, tok):
         .count()
     )
     assert n > 0
+
+
+def test_bigram_typicality_oracle(spark, con, tok):
+    assert_match(tks.bigram_typicality(tok), con, tks.bigram_typicality_sql(), 50)
+
+
+def test_bigram_typicality_matches_python_reference(spark):
+    """Brute-force reference on an in-memory corpus: MLE transition
+    probs quantized per pair, per-doc BIGINT sum — including the
+    repeated-pair and shared-context cases."""
+    import math
+
+    seqs = {
+        "d1": [1, 2, 1, 2, 3],
+        "d2": [1, 2, 2, 2],
+        "d3": [9],  # no pairs → no output row
+    }
+    df = spark.createDataFrame(
+        [(d, t, len(t), "s") for d, t in seqs.items()],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    cnt: dict[tuple[int, int], int] = {}
+    for t in seqs.values():
+        for a, b in zip(t, t[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    ctx: dict[int, int] = {}
+    for (a, _), c in cnt.items():
+        ctx[a] = ctx.get(a, 0) + c
+    p_u = {k: math.floor(1000000.0 * (c / ctx[k[0]])) for k, c in cnt.items()}
+    want = {}
+    for d, t in seqs.items():
+        prs = list(zip(t, t[1:]))
+        if prs:
+            want[d] = (len(prs), sum(p_u[p] for p in prs))
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["score_u"])
+        for r in tks.bigram_typicality(df).collect()
+    }
+    assert got == want
