@@ -598,3 +598,24 @@ def ann_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivfpq_serve_sql() -> str:
     return sim.ivfpq_topk_sql(n_queries=SERVE_QUERIES, k=SERVE_K)
+
+
+def ann_ivf_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall acceptance gate on the PRODUCTION serve path: the
+    persisted-IVF top-k (index built/read from the TableStore, zero
+    training at query time) scored against the exact cosine top-k on
+    the same query set. Complements ``sim.recall_eval`` (which gates
+    the inline-trained pipeline): a corrupted or stale persisted index
+    fails HERE even when the trainer itself is healthy — run it after
+    every build/append before the index serves traffic."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.recall_frame(
+        sim.cosine_topk(embs, SERVE_QUERIES, SERVE_K),
+        ann_ivf_serve(spark, sf_dir),
+    )
+
+
+def ann_ivf_serve_recall_sql() -> str:
+    return sim.recall_sql(
+        sim.cosine_topk_sql(SERVE_QUERIES, SERVE_K), ann_ivf_serve_sql()
+    )

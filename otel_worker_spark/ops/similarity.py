@@ -737,10 +737,19 @@ def recall_eval(
     probes); their outputs are n_queries·k rows, so everything
     downstream — the intersection join and the per-query rollup — is
     broadcast-sized regardless of corpus scale."""
-    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "neighbor_id")
-    approx = ivf_kmeans_topk(
-        embeddings, n_queries, k, n_centroids, n_probe, iters
-    ).select("query_id", "neighbor_id")
+    return recall_frame(
+        cosine_topk(embeddings, n_queries, k),
+        ivf_kmeans_topk(embeddings, n_queries, k, n_centroids, n_probe, iters),
+    )
+
+
+def recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of ``approx`` against ``exact`` — both frames
+    in the shared top-k shape (query_id, …, neighbor_id, …). Shared by
+    the inline gate (``recall_eval``) and the persisted-serve gate
+    (``ops.ann_index.ann_ivf_serve_recall``)."""
+    exact = exact.select("query_id", "neighbor_id")
+    approx = approx.select("query_id", "neighbor_id")
     per = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"])
@@ -762,21 +771,14 @@ def recall_eval(
     )
 
 
-def recall_eval_sql(
-    n_queries: int = 8,
-    k: int = 5,
-    n_centroids: int = N_CENTROIDS,
-    n_probe: int = N_PROBE,
-    iters: int = KMEANS_ITERS,
-) -> str:
-    """Oracle: both top-k pipelines replayed verbatim (the IVF side
-    includes the full Lloyd training CTE), intersected per query."""
+def recall_sql(exact_sql: str, approx_sql: str) -> str:
+    """DuckDB twin of ``recall_frame``: both full top-k pipelines as
+    subqueries, intersected per query."""
     return f"""
 WITH exact AS (
-  SELECT query_id, neighbor_id FROM ({cosine_topk_sql(n_queries, k)}) e
+  SELECT query_id, neighbor_id FROM ({exact_sql}) e
 ), approx AS (
-  SELECT query_id, neighbor_id
-  FROM ({ivf_kmeans_topk_sql(n_queries, k, n_centroids, n_probe, iters)}) a
+  SELECT query_id, neighbor_id FROM ({approx_sql}) a
 ), per AS (
   SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1
 ), hits AS (
@@ -789,6 +791,21 @@ SELECT p.query_id, p.n_exact,
                                / CAST(p.n_exact AS DOUBLE))) AS BIGINT) AS recall_u
 FROM per p LEFT JOIN hits h USING (query_id)
 """
+
+
+def recall_eval_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    iters: int = KMEANS_ITERS,
+) -> str:
+    """Oracle: both top-k pipelines replayed verbatim (the IVF side
+    includes the full Lloyd training CTE), intersected per query."""
+    return recall_sql(
+        cosine_topk_sql(n_queries, k),
+        ivf_kmeans_topk_sql(n_queries, k, n_centroids, n_probe, iters),
+    )
 
 
 # -------------------------------------------------- semantic dedup

@@ -875,6 +875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact cosine top-k, as exact integer statistics (the oracle
         # replays BOTH pipelines, Lloyd training included)
         "ann_recall_eval": lambda s, d: sim.recall_eval(_embs(s, d)),
+        # the same gate on the PRODUCTION serve path (persisted index
+        # read from the TableStore — catches index corruption/staleness
+        # the inline gate cannot)
+        "ann_serve_recall_eval": ai.ann_ivf_serve_recall,
         "token_pair_counts": lambda s, d: tks.bpe_pair_counts(_tokens(s, d)),
         "token_dup_spans": lambda s, d: tks.dup_spans(_tokens(s, d)),
         "token_doc_dup_stats": lambda s, d: tks.doc_dup_stats(_tokens(s, d)),
@@ -1003,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "token_bigram_typicality": tks.bigram_typicality_sql(),
         "ann_recall_eval": sim.recall_eval_sql(),
+        "ann_serve_recall_eval": ai.ann_ivf_serve_recall_sql(),
         "token_pair_counts": tks.bpe_pair_counts_sql(),
         "token_dup_spans": tks.dup_spans_sql(),
         "token_doc_dup_stats": tks.doc_dup_stats_sql(),

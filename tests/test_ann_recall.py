@@ -130,3 +130,19 @@ def test_recall_eval_matches_set_intersection(frames):
         assert r.n_exact == len(ex_q)
         assert r.hits == len(ex_q & ap_q)
         assert r.recall_u == int(1000000 * r.hits / r.n_exact)
+
+
+def test_serve_recall_gate(spark):
+    """The persisted-index gate: per-query arithmetic exact, and a
+    recall floor on the production serve path (same corpus, so the
+    floor is stable, not flaky)."""
+    from otel_worker_spark.ops import ann_index as ai
+
+    rows = ai.ann_ivf_serve_recall(spark, SF_DIR).collect()
+    assert len(rows) == ai.SERVE_QUERIES
+    for r in rows:
+        assert 0 <= r.hits <= r.n_exact == ai.SERVE_K
+        assert r.recall_u == int(1000000 * r.hits / r.n_exact)
+    mean = sum(r.hits for r in rows) / sum(r.n_exact for r in rows)
+    print(f"serve recall@{ai.SERVE_K} = {mean:.3f}")
+    assert mean >= 0.3
