@@ -293,6 +293,72 @@ FROM fl GROUP BY doc_id
 """
 
 
+#: default dup-rate drop threshold, as an exact rational (drop when
+#: n_dup_windows/n_windows > NUM/DEN) — integer cross-multiply, no
+#: float ratio crosses an engine boundary.
+DUP_FILTER_NUM = 4
+DUP_FILTER_DEN = 5
+
+
+def doc_dup_filter(
+    tokens_df: DataFrame,
+    L: int = SPAN_L,
+    num: int = DUP_FILTER_NUM,
+    den: int = DUP_FILTER_DEN,
+) -> DataFrame:
+    """The actionable step after ``doc_dup_stats``: Lee et al. drop
+    documents that are mostly duplicated corpus text. Emits every
+    document with its window counts and an integer ``dropped`` flag
+    (1 ⇔ dup rate > num/den, decided by BIGINT cross-multiplication —
+    no float ratio to drift cross-engine). Docs shorter than L carry
+    0/0 windows and are kept.
+
+    Scale shape: ``doc_dup_stats``'s two audited exchanges, then one
+    doc_id sort-merge join back to the (narrow) doc list — both sides
+    arrive doc-keyed, and the join's key is the stats agg's own output
+    partitioning."""
+    stats = doc_dup_stats(tokens_df, L)
+    return (
+        tokens_df.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .na.fill({"n_windows": 0, "n_dup_windows": 0})
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.when(
+                F.col("n_dup_windows") * den > F.col("n_windows") * num,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("dropped"),
+        )
+    )
+
+
+def doc_dup_filter_sql(
+    L: int = SPAN_L, num: int = DUP_FILTER_NUM, den: int = DUP_FILTER_DEN
+) -> str:
+    from ..fixtures import DOC_ID, render
+
+    d = render(DOC_ID, "duckdb")
+    return f"""
+WITH s AS (
+  SELECT * FROM ({doc_dup_stats_sql(L)}) x
+), base AS (
+  SELECT {d} AS doc_id FROM events
+)
+SELECT base.doc_id,
+       coalesce(s.n_windows, 0) AS n_windows,
+       coalesce(s.n_dup_windows, 0) AS n_dup_windows,
+       CAST(CASE WHEN coalesce(s.n_dup_windows, 0) * {den}
+                      > coalesce(s.n_windows, 0) * {num}
+                 THEN 1 ELSE 0 END AS INT) AS dropped
+FROM base LEFT JOIN s USING (doc_id)
+"""
+
+
 # ------------------------------------------------- bigram typicality
 
 
@@ -361,6 +427,217 @@ def bigram_typicality_sql() -> str:
 )
 SELECT doc_id, count(*) AS n_pairs, CAST(sum(p_u) AS BIGINT) AS score_u
 FROM pr JOIN prob USING (a, b) GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------- zipf / coverage
+
+
+def zipf_coverage(tokens_df: DataFrame) -> DataFrame:
+    """Rank-frequency (Zipf) table with cumulative coverage: for every
+    token id its corpus count, frequency rank (count desc, id asc —
+    the tiebreak makes the rank deterministic cross-engine) and the
+    cumulative count of the top-``rank`` tokens. ``cum_cnt / total``
+    answers the curation question "how much of the corpus do the top-k
+    vocabulary items cover" exactly (two BIGINTs, no float).
+
+    Scale shape: the explode+groupBy exchange is |V|-bounded after
+    map-side partial aggregation (≤256 rows/partition on the byte
+    vocab, ≤|V| in general); the rank/cumsum window is a single
+    ordered partition of |V| rows — vocab-sized, independent of
+    corpus rows, so the one-task window is O(|V| log |V|) no matter
+    how many documents feed it."""
+    counts = (
+        _spread(tokens_df)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cnt"),
+    )
+
+
+def zipf_coverage_sql() -> str:
+    return f"""{_tok_cte()}, u AS (
+  SELECT unnest(toks) AS token FROM t
+), c AS (
+  SELECT token, count(*) AS cnt FROM u GROUP BY 1
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+       CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+FROM c
+"""
+
+
+# ------------------------------------------- per-source divergence
+
+
+def source_divergence(tokens_df: DataFrame) -> DataFrame:
+    """Per-source unigram L1 divergence from the corpus mixture — the
+    data-mixture diagnostic (which sources are distributionally
+    atypical and by how much). For source s with n_src total tokens
+    out of N corpus-wide:
+
+        l1_num(s) = Σ_t | cnt_s(t)·N − cnt(t)·n_src |
+
+    which is N·n_src·Σ_t|P_s(t) − P(t)| kept as one exact BIGINT
+    (cross-multiplied; safe through ~sf1 on this fixture since
+    l1_num ≤ 2·N·n_src < 2·N² ≈ 1.6e18 — the decade-up path rebases
+    to per-million quanta like ``bigram_typicality``).
+
+    Scale shape: ONE corpus-sized exchange — the (source, token)
+    groupBy, whose key space is |V|·|sources| so partial aggregation
+    bounds it regardless of corpus rows. Everything after runs as
+    window functions over that vocab-sized frame (per-token totals,
+    per-source totals, the grand total), so tokens absent from a
+    source need no vocab×source cross join: their contribution is
+    n_src·(N − Σ_{t present in s} cnt(t)), folded into the final
+    per-source rollup."""
+    per = (
+        _spread(tokens_df)
+        .select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt_src"))
+    )
+    enriched = per.select(
+        "source",
+        "cnt_src",
+        F.sum("cnt_src").over(Window.partitionBy("token")).alias("cnt_all"),
+        F.sum("cnt_src").over(Window.partitionBy("source")).alias("n_src"),
+        F.sum("cnt_src").over(Window.partitionBy()).alias("n_total"),
+    )
+    term = F.abs(
+        F.col("cnt_src") * F.col("n_total") - F.col("cnt_all") * F.col("n_src")
+    )
+    return enriched.groupBy("source").agg(
+        F.max("n_src").alias("n_src"),
+        (
+            F.sum(term)
+            + F.max("n_src") * (F.max("n_total") - F.sum("cnt_all"))
+        ).alias("l1_num"),
+    )
+
+
+def source_divergence_sql() -> str:
+    from ..fixtures import DOC_ID, SERVICE, render
+
+    s = render(SERVICE, "duckdb")
+    did = render(DOC_ID, "duckdb")
+    return f"""{_tok_cte()}, src AS (
+  SELECT t.doc_id, t.toks, {s} AS source
+  FROM t JOIN events ON t.doc_id = {did}
+), per AS (
+  SELECT source, unnest(toks) AS token FROM src
+), cnts AS (
+  SELECT source, token, count(*) AS cnt_src FROM per GROUP BY 1, 2
+), en AS (
+  SELECT source, cnt_src,
+         sum(cnt_src) OVER (PARTITION BY token) AS cnt_all,
+         sum(cnt_src) OVER (PARTITION BY source) AS n_src,
+         sum(cnt_src) OVER () AS n_total
+  FROM cnts
+)
+SELECT source,
+       CAST(max(n_src) AS BIGINT) AS n_src,
+       CAST(sum(abs(cnt_src * n_total - cnt_all * n_src))
+            + max(n_src) * (max(n_total) - sum(cnt_all)) AS BIGINT) AS l1_num
+FROM en GROUP BY source
+"""
+
+
+# --------------------------------------------- benchmark decontamination
+
+
+#: benchmark membership: docs whose event id is divisible by this are
+#: the held-out "benchmark" whose L-grams must not leak into training.
+DECON_MOD = 101
+
+
+def token_decontaminate(
+    tokens_df: DataFrame, L: int = SPAN_L, mod: int = DECON_MOD
+) -> DataFrame:
+    """Token-native benchmark decontamination (the n-gram-overlap
+    check every training-data pipeline runs before a release — GPT-3
+    appendix C / PaLM style, here over token L-grams instead of
+    detokenized text). A deterministic fixture subset (event_id %
+    ``mod`` == 0) plays the benchmark; every OTHER document is scored
+    by how many of its L-token windows appear verbatim anywhere in the
+    benchmark, and flagged ``contaminated`` when any does.
+
+    Scale shape: the benchmark gram set is bounded by the BENCHMARK
+    size (fixed — benchmarks don't grow with the crawl), so it
+    broadcasts and the training corpus NEVER shuffles: windows explode
+    narrowly, probe the broadcast hash set, and collapse in the
+    doc-keyed rollup (map-side partial agg on doc_id keys that arrive
+    already clustered). The only exchanges are the benchmark-side
+    distinct (tiny) and the final doc rollup."""
+    eid = F.expr("CAST(substr(doc_id, 5) AS BIGINT)")
+    is_bench = (eid % mod) == 0
+    bench_grams = (
+        _window_spans(tokens_df.where(is_bench), L)
+        .select("span")
+        .distinct()
+        .withColumn("is_hit", F.lit(1))
+    )
+    corpus = tokens_df.where(~is_bench)
+    wins = _window_spans(corpus, L)
+    hits = (
+        wins.join(F.broadcast(bench_grams), "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce("is_hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .na.fill({"n_windows": 0, "n_hits": 0})
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_hits",
+            (F.col("n_hits") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def token_decontaminate_sql(L: int = SPAN_L, mod: int = DECON_MOD) -> str:
+    return f"""{_tok_cte()}, ids AS (
+  SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) % {mod} = 0 AS is_bench
+  FROM p
+), bench AS (
+  SELECT DISTINCT unnest([substr(p.payload, i, {L})
+                          for i in range(1, length(p.payload) - {L} + 2)]) AS raw
+  FROM p JOIN ids USING (doc_id)
+  WHERE ids.is_bench AND length(p.payload) >= {L}
+), w AS (
+  SELECT p.doc_id,
+         unnest([substr(p.payload, i, {L})
+                 for i in range(1, length(p.payload) - {L} + 2)]) AS raw
+  FROM p JOIN ids USING (doc_id)
+  WHERE NOT ids.is_bench AND length(p.payload) >= {L}
+), h AS (
+  SELECT w.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN bench.raw IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM w LEFT JOIN bench USING (raw) GROUP BY w.doc_id
+)
+SELECT ids.doc_id,
+       CAST(coalesce(h.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM ids LEFT JOIN h USING (doc_id)
+WHERE NOT ids.is_bench
 """
 
 

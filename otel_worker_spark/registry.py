@@ -871,6 +871,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigram_typicality": lambda s, d: tks.bigram_typicality(
             _tokens(s, d)
         ),
+        # the actionable ExactSubstr step (Lee et al. 2021): drop docs
+        # whose dup rate exceeds NUM/DEN (integer cross-multiply)
+        "token_doc_dup_filter": lambda s, d: tks.doc_dup_filter(_tokens(s, d)),
+        # Zipf rank-frequency with exact cumulative coverage (top-k
+        # vocabulary coverage as two BIGINTs, no float)
+        "token_zipf_coverage": lambda s, d: tks.zipf_coverage(_tokens(s, d)),
+        # per-source unigram L1 divergence from the corpus mixture
+        # (cross-multiplied BIGINT — the data-mixture diagnostic)
+        "token_source_divergence": lambda s, d: tks.source_divergence(
+            _tokens(s, d)
+        ),
+        # token-native benchmark decontamination: L-gram overlap vs a
+        # deterministic held-out subset, corpus never shuffles
+        "token_decontaminate": lambda s, d: tks.token_decontaminate(
+            _tokens(s, d)
+        ),
         # ANN index acceptance gate: recall@k of the trained IVF vs
         # exact cosine top-k, as exact integer statistics (the oracle
         # replays BOTH pipelines, Lloyd training included)
@@ -1006,6 +1022,10 @@ def oracle_sql() -> dict[str, str]:
     # ordered to mirror queries() — never-driver-verified entries first
     return {
         "token_bigram_typicality": tks.bigram_typicality_sql(),
+        "token_doc_dup_filter": tks.doc_dup_filter_sql(),
+        "token_zipf_coverage": tks.zipf_coverage_sql(),
+        "token_source_divergence": tks.source_divergence_sql(),
+        "token_decontaminate": tks.token_decontaminate_sql(),
         "ann_recall_eval": sim.recall_eval_sql(),
         "ann_serve_recall_eval": ai.ann_ivf_serve_recall_sql(),
         "token_pair_counts": tks.bpe_pair_counts_sql(),

@@ -362,3 +362,44 @@ def test_semantic_dedup_plan_no_cartesian(spark):
     final = sd._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_token_decontaminate_plan_shape(spark):
+    """Token-native decontamination: the benchmark gram set broadcasts
+    (BroadcastHashJoin, never a sort-merge of the corpus against it)
+    and the training-side windows reach the probe without any corpus
+    sort — the only exchanges are the benchmark distinct, the _spread
+    round-robins, and the doc rollup."""
+    from otel_worker_spark.fixtures import token_sequences_from_events
+    from otel_worker_spark.ops import token_stats as tks
+
+    tok = token_sequences_from_events(spark, SF_DIR)
+    df = tks.token_decontaminate(tok)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_zipf_coverage_window_input_is_vocab_sized(spark):
+    """The rank/cumsum window runs on the POST-aggregation frame (|V|
+    rows), never on exploded corpus tokens: the plan's single-partition
+    exchange must sit above the final HashAggregate."""
+    from otel_worker_spark.fixtures import token_sequences_from_events
+    from otel_worker_spark.ops import token_stats as tks
+
+    tok = token_sequences_from_events(spark, SF_DIR)
+    df = tks.zipf_coverage(tok)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    w = final.index("Window")
+    agg = final.index("HashAggregate")
+    assert agg > w, "aggregate must be UNDER the window in the plan tree"
+    assert "SinglePartition" in final

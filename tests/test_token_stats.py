@@ -195,3 +195,103 @@ def test_bigram_typicality_matches_python_reference(spark):
         for r in tks.bigram_typicality(df).collect()
     }
     assert got == want
+
+
+def test_zipf_coverage_oracle(spark, con, tok):
+    assert_match(tks.zipf_coverage(tok), con, tks.zipf_coverage_sql(), 50)
+
+
+def test_zipf_coverage_is_a_coverage_curve(spark, tok):
+    """Ranks are a 1..|V| permutation, counts non-increasing along the
+    rank order, and the last cumulative count is the corpus token
+    total."""
+    rows = sorted(tks.zipf_coverage(tok).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    running = 0
+    for r in rows:
+        running += r["cnt"]
+        assert r["cum_cnt"] == running
+    total = tok.select(F.sum(F.size("tokens"))).first()[0]
+    assert rows[-1]["cum_cnt"] == total
+
+
+def test_source_divergence_oracle(spark, con, tok):
+    assert_match(tks.source_divergence(tok), con, tks.source_divergence_sql(), 2)
+
+
+def test_source_divergence_matches_python_reference(spark):
+    """Brute force over the FULL vocab (absent tokens included): the
+    windowed plan must reproduce Σ_t |cnt_s(t)·N − cnt(t)·n_s| even
+    though it never materializes source×vocab. Includes an identical-
+    distribution source pair (same Σ|P_s − P|, so their l1_num are
+    exactly proportional to their masses) and a disjoint-vocab
+    source."""
+    seqs = {
+        "a1": ("src-a", [1, 1, 2]),
+        "a2": ("src-a", [1, 2, 2]),
+        "b1": ("src-b", [1, 1, 2, 1, 2, 2]),  # same dist as src-a, 2x mass
+        "c1": ("src-c", [7, 7, 7]),  # disjoint vocab
+    }
+    df = spark.createDataFrame(
+        [(d, t, len(t), s) for d, (s, t) in seqs.items()],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    cnt_all: dict[int, int] = {}
+    per: dict[str, dict[int, int]] = {}
+    for s, t in seqs.values():
+        for x in t:
+            cnt_all[x] = cnt_all.get(x, 0) + 1
+            per.setdefault(s, {})[x] = per.setdefault(s, {}).get(x, 0) + 1
+    N = sum(cnt_all.values())
+    want = {}
+    for s, c in per.items():
+        n_s = sum(c.values())
+        l1 = sum(abs(c.get(t, 0) * N - cnt_all[t] * n_s) for t in cnt_all)
+        want[s] = (n_s, l1)
+    got = {
+        r["source"]: (r["n_src"], r["l1_num"])
+        for r in tks.source_divergence(df).collect()
+    }
+    assert got == want
+    # identical distributions ⇒ l1_num proportional to source mass
+    # (l1_num = N·n_s·Σ_t|P_s(t) − P(t)|, same Σ for src-a/src-b)
+    n_a, l1_a = want["src-a"]
+    n_b, l1_b = want["src-b"]
+    assert l1_a * n_b == l1_b * n_a
+    assert want["src-c"][1] > 0
+
+
+def test_token_decontaminate_oracle(spark, con, tok):
+    assert_match(
+        tks.token_decontaminate(tok), con, tks.token_decontaminate_sql(), 100
+    )
+
+
+def test_token_decontaminate_flags_planted_overlap(spark):
+    """doc_id 'evt-0' (0 % mod == 0) is the benchmark; a training doc
+    sharing one L-window with it is flagged with the exact hit count,
+    a disjoint doc is not, and a short doc carries 0/0 windows."""
+    L = tks.SPAN_L
+    bench = list(range(100, 100 + 2 * L))  # 2L tokens → L+1 windows
+    hit = [255] * 5 + bench[:L] + [254] * 5  # exactly 1 benchmark window
+    clean = list(range(1, 1 + 2 * L))  # offset by 99 → disjoint windows
+    short = [1, 2, 3]
+    df = spark.createDataFrame(
+        [
+            ("evt-0", bench, len(bench), "s"),
+            ("evt-1", hit, len(hit), "s"),
+            ("evt-2", clean, len(clean), "s"),
+            ("evt-3", short, len(short), "s"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_hits"], r["contaminated"])
+        for r in tks.token_decontaminate(df).collect()
+    }
+    assert set(got) == {"evt-1", "evt-2", "evt-3"}  # benchmark row excluded
+    assert got["evt-1"] == (len(hit) - L + 1, 1, 1)
+    assert got["evt-2"] == (len(clean) - L + 1, 0, 0)
+    assert got["evt-3"] == (0, 0, 0)
