@@ -12,6 +12,8 @@ Run on a cluster as:
     spark-submit ... jobs.py ingest-metrics --stores /data/otel
     spark-submit ... jobs.py traces-list --stores /data/otel --limit 20
     spark-submit ... jobs.py delete-trace --stores /data/otel --trace-id <hex>
+    spark-submit ... jobs.py token-curate --tokens /data/token_sequences \\
+        --out /data/gate --bench /data/benchmarks [--kept-out /data/kept]
     spark-submit ... jobs.py ann-build --embeddings /data/emb --index /data/ann
     spark-submit ... jobs.py ann-serve --embeddings /data/emb --index /data/ann --k 5
     spark-submit ... jobs.py bench           (local benchmarking, see bench.py)
@@ -155,6 +157,49 @@ def cmd_curate(args) -> None:
         "tokens": row["tokens"],
         "capacity": args.capacity,
         "out": args.out,
+    }))
+
+
+def cmd_token_curate(args) -> None:
+    """Run the token-native release gate (Lee-et-al dup-rate filter +
+    benchmark L-gram decontamination, ops/token_stats.curation_gate)
+    over a north-rule token parquet: write the per-doc gate table,
+    optionally the kept token rows, and print a JSON receipt."""
+    from pyspark.sql import functions as F
+
+    from otel_worker_spark.ops import token_stats as tks
+
+    spark = get_spark("token-curate")
+    tok = spark.read.parquet(args.tokens)
+    bench = (
+        tks.benchmark_grams(spark.read.parquet(args.bench))
+        if args.bench
+        else None
+    )
+    gate = tks.curation_gate(tok, bench_grams_df=bench)
+    gate.write.mode("errorifexists").option("compression", "zstd").parquet(args.out)
+    gate = spark.read.parquet(args.out)
+    if args.kept_out:
+        kept = tok.join(
+            gate.where("kept = 1").select("doc_id"), "doc_id", "left_semi"
+        )
+        kept.write.mode("errorifexists").option("compression", "zstd").parquet(
+            args.kept_out
+        )
+    row = gate.agg(
+        F.count("*").alias("docs"),
+        F.sum("dropped").alias("dropped"),
+        F.sum("contaminated").alias("contaminated"),
+        F.sum("kept").alias("kept"),
+    ).collect()[0]
+    print(json.dumps({
+        "docs": row["docs"],
+        "dropped": row["dropped"],
+        "contaminated": row["contaminated"],
+        "kept": row["kept"],
+        "bench": args.bench or "fixture-holdout",
+        "out": args.out,
+        "keptOut": args.kept_out,
     }))
 
 
@@ -440,6 +485,16 @@ def main() -> None:
     pc.add_argument("--out", required=True)
     pc.add_argument("--capacity", type=int, default=64)
     pc.set_defaults(fn=cmd_curate)
+
+    ptc = sub.add_parser("token-curate")
+    ptc.add_argument("--tokens", required=True,
+                     help="north-rule token parquet (doc_id, tokens, n_tok, source)")
+    ptc.add_argument("--out", required=True, help="per-doc gate table output")
+    ptc.add_argument("--bench",
+                     help="benchmark token parquet; omit to gate against the "
+                          "fixture's deterministic holdout")
+    ptc.add_argument("--kept-out", help="also write the kept token rows here")
+    ptc.set_defaults(fn=cmd_token_curate)
 
     pab = sub.add_parser("ann-build")
     pab.add_argument("--embeddings", required=True)

@@ -562,6 +562,51 @@ FROM en GROUP BY source
 DECON_MOD = 101
 
 
+def benchmark_grams(tokens_df: DataFrame, L: int = SPAN_L) -> DataFrame:
+    """The distinct L-token windows of a benchmark corpus, as the
+    ``span`` probe table ``decontaminate_probe`` consumes. Built once
+    per benchmark release (the benchmark is fixed-size — it doesn't
+    grow with the crawl) and persisted/reused by both the batch and
+    streaming probes."""
+    return _window_spans(tokens_df, L).select("span").distinct()
+
+
+def decontaminate_probe(
+    corpus_df: DataFrame, bench_grams_df: DataFrame, L: int = SPAN_L
+) -> DataFrame:
+    """Score every corpus document against a prebuilt benchmark gram
+    table: per-doc window count, benchmark-hit count, and an integer
+    ``contaminated`` flag. The shared core of the batch registry query
+    and the streaming micro-batch probe.
+
+    Scale shape: the gram table is benchmark-bounded, so it broadcasts
+    and the training corpus NEVER shuffles into the probe: windows
+    explode narrowly, probe the broadcast hash relation, and collapse
+    in the doc-keyed rollup. The only corpus-sized exchange is that
+    final rollup."""
+    marked = bench_grams_df.select("span").withColumn("is_hit", F.lit(1))
+    wins = _window_spans(corpus_df, L)
+    hits = (
+        wins.join(F.broadcast(marked), "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce("is_hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        corpus_df.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .na.fill({"n_windows": 0, "n_hits": 0})
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_hits",
+            (F.col("n_hits") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def token_decontaminate(
     tokens_df: DataFrame, L: int = SPAN_L, mod: int = DECON_MOD
 ) -> DataFrame:
@@ -573,41 +618,16 @@ def token_decontaminate(
     by how many of its L-token windows appear verbatim anywhere in the
     benchmark, and flagged ``contaminated`` when any does.
 
-    Scale shape: the benchmark gram set is bounded by the BENCHMARK
-    size (fixed — benchmarks don't grow with the crawl), so it
-    broadcasts and the training corpus NEVER shuffles: windows explode
-    narrowly, probe the broadcast hash set, and collapse in the
-    doc-keyed rollup (map-side partial agg on doc_id keys that arrive
-    already clustered). The only exchanges are the benchmark-side
-    distinct (tiny) and the final doc rollup."""
+    Scale shape: see ``decontaminate_probe`` — benchmark grams
+    broadcast, corpus never shuffles into the probe; the only
+    exchanges are the benchmark-side distinct (tiny) and the final
+    doc rollup."""
     eid = F.expr("CAST(substr(doc_id, 5) AS BIGINT)")
     is_bench = (eid % mod) == 0
-    bench_grams = (
-        _window_spans(tokens_df.where(is_bench), L)
-        .select("span")
-        .distinct()
-        .withColumn("is_hit", F.lit(1))
-    )
-    corpus = tokens_df.where(~is_bench)
-    wins = _window_spans(corpus, L)
-    hits = (
-        wins.join(F.broadcast(bench_grams), "span", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.coalesce("is_hit", F.lit(0))).alias("n_hits"),
-        )
-    )
-    return (
-        corpus.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .na.fill({"n_windows": 0, "n_hits": 0})
-        .select(
-            "doc_id",
-            "n_windows",
-            "n_hits",
-            (F.col("n_hits") > 0).cast("int").alias("contaminated"),
-        )
+    return decontaminate_probe(
+        tokens_df.where(~is_bench),
+        benchmark_grams(tokens_df.where(is_bench), L),
+        L,
     )
 
 
@@ -638,6 +658,71 @@ SELECT ids.doc_id,
          AS contaminated
 FROM ids LEFT JOIN h USING (doc_id)
 WHERE NOT ids.is_bench
+"""
+
+
+# ------------------------------------------------------- curation gate
+
+
+def curation_gate(
+    tokens_df: DataFrame,
+    L: int = SPAN_L,
+    num: int = DUP_FILTER_NUM,
+    den: int = DUP_FILTER_DEN,
+    mod: int = DECON_MOD,
+    bench_grams_df: DataFrame | None = None,
+) -> DataFrame:
+    """The composed keep/drop decision a training-data release
+    actually ships: a document enters the corpus iff it is neither
+    mostly duplicated corpus text (``doc_dup_filter``, Lee et al.
+    2021) nor contaminated with benchmark L-grams
+    (``token_decontaminate``, GPT-3 appendix C). One row per
+    non-benchmark document with both flags and the final ``kept``
+    bit — the full gate as a single declarative plan, so Catalyst
+    sees (and can share/reorder) both sub-pipelines.
+
+    Scale shape: the union of the two sub-plans' audited shapes —
+    dup-stats' span-keyed exchanges + doc rollup, decontaminate's
+    broadcast probe + doc rollup — joined on doc_id where BOTH sides
+    arrive doc-keyed from their own final aggregations.
+
+    ``bench_grams_df`` switches the contamination side to an EXTERNAL
+    benchmark gram table (``benchmark_grams`` of a real held-out
+    corpus — the production deployment shape, used by ``jobs.py
+    token-curate --bench``); every input document is then gated. The
+    default keeps the registry/oracle semantics: the deterministic
+    fixture holdout plays the benchmark and is itself excluded."""
+    dup = doc_dup_filter(tokens_df, L, num, den)
+    if bench_grams_df is not None:
+        dec = decontaminate_probe(tokens_df, bench_grams_df, L)
+    else:
+        dec = token_decontaminate(tokens_df, L, mod)
+    return dec.join(dup, "doc_id").select(
+        "doc_id",
+        "dropped",
+        "contaminated",
+        (
+            (F.col("dropped") == 0) & (F.col("contaminated") == 0)
+        ).cast("int").alias("kept"),
+    )
+
+
+def curation_gate_sql(
+    L: int = SPAN_L,
+    num: int = DUP_FILTER_NUM,
+    den: int = DUP_FILTER_DEN,
+    mod: int = DECON_MOD,
+) -> str:
+    return f"""
+WITH dup AS (
+  SELECT * FROM ({doc_dup_filter_sql(L, num, den)}) x
+), dec AS (
+  SELECT * FROM ({token_decontaminate_sql(L, mod)}) y
+)
+SELECT dec.doc_id, dup.dropped, dec.contaminated,
+       CAST(CASE WHEN dup.dropped = 0 AND dec.contaminated = 0
+                 THEN 1 ELSE 0 END AS INT) AS kept
+FROM dec JOIN dup USING (doc_id)
 """
 
 

@@ -887,6 +887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_decontaminate": lambda s, d: tks.token_decontaminate(
             _tokens(s, d)
         ),
+        # the composed release decision: kept ⇔ not mostly-duplicated
+        # AND not benchmark-contaminated, as ONE declarative plan
+        "token_curation_gate": lambda s, d: tks.curation_gate(_tokens(s, d)),
         # ANN index acceptance gate: recall@k of the trained IVF vs
         # exact cosine top-k, as exact integer statistics (the oracle
         # replays BOTH pipelines, Lloyd training included)
@@ -1026,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "token_zipf_coverage": tks.zipf_coverage_sql(),
         "token_source_divergence": tks.source_divergence_sql(),
         "token_decontaminate": tks.token_decontaminate_sql(),
+        "token_curation_gate": tks.curation_gate_sql(),
         "ann_recall_eval": sim.recall_eval_sql(),
         "ann_serve_recall_eval": ai.ann_ivf_serve_recall_sql(),
         "token_pair_counts": tks.bpe_pair_counts_sql(),

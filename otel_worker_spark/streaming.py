@@ -551,6 +551,64 @@ def epoch_idempotent_sink(out_dir: str):
     return land
 
 
+def decontaminate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    bench_dir: str,
+    L: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming benchmark decontamination — the streaming twin of
+    ``ops.token_stats.token_decontaminate``: a live stream of
+    pre-tokenized sequences (the north-rule table shape) is scored per
+    micro-batch against a STATIC benchmark gram table built once by
+    ``ops.token_stats.benchmark_grams`` and persisted at ``bench_dir``
+    (benchmarks are fixed at release time, so the probe side never
+    changes mid-stream — the classic stream-static broadcast-dimension
+    shape).
+
+    The operator is stateless per document (every L-window of a doc
+    arrives inside that doc's own row), so no Spark state store is
+    involved: each micro-batch runs the SAME audited batch probe
+    (``decontaminate_probe`` — broadcast grams, corpus never shuffles)
+    and lands through the epoch-idempotent sink, which makes replayed
+    uncommitted batches rewrite instead of duplicate — exactly-once
+    end to end with checkpoint restarts for free.
+    """
+    from pyspark.sql import types as T
+
+    from .ops import token_stats as tks
+
+    span_l = L if L is not None else tks.SPAN_L
+    TOK_SCHEMA = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    bench = spark.read.parquet(bench_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = tks.decontaminate_probe(batch_df, bench, span_l)
+        epoch_idempotent_sink(out_dir)(scored, epoch_id)
+
+    reader = spark.readStream.schema(TOK_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return (
+        reader.load(source_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def range_join_stream(
     spark: SparkSession,
     source_dir: str,

@@ -295,3 +295,46 @@ def test_token_decontaminate_flags_planted_overlap(spark):
     assert got["evt-1"] == (len(hit) - L + 1, 1, 1)
     assert got["evt-2"] == (len(clean) - L + 1, 0, 0)
     assert got["evt-3"] == (0, 0, 0)
+
+
+def test_jobs_token_curate_cli(spark, tmp_path):
+    """`jobs.py token-curate` end-to-end with an EXTERNAL benchmark:
+    every input doc is gated, the receipt's counters are consistent,
+    and --kept-out lands exactly the kept token rows."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tok = token_sequences_from_events(spark, SF_DIR).where(
+        "CAST(substr(doc_id, 5) AS BIGINT) < 150"
+    )
+    bench = token_sequences_from_events(spark, SF_DIR).where(
+        "CAST(substr(doc_id, 5) AS BIGINT) % 101 = 0"
+    )
+    tok_dir, bench_dir = str(tmp_path / "tok"), str(tmp_path / "bench")
+    out_dir, kept_dir = str(tmp_path / "gate"), str(tmp_path / "kept")
+    tok.write.parquet(tok_dir)
+    bench.write.parquet(bench_dir)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs.py"), "token-curate",
+         "--tokens", tok_dir, "--out", out_dir,
+         "--bench", bench_dir, "--kept-out", kept_dir],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    receipt = json.loads(proc.stdout.strip().splitlines()[-1])
+    n_in = tok.count()
+    assert receipt["docs"] == n_in  # external bench ⇒ ALL docs gated
+    gate = spark.read.parquet(out_dir)
+    assert gate.count() == n_in
+    kept_ids = {r["doc_id"] for r in gate.where("kept = 1").collect()}
+    assert receipt["kept"] == len(kept_ids)
+    got_kept = spark.read.parquet(kept_dir)
+    assert {r["doc_id"] for r in got_kept.collect()} == kept_ids
+    # the benchmark doc (evt-0) IS in the input window and shares the
+    # JSON scaffolding with itself → must be flagged contaminated
+    flags = {r["doc_id"]: r["contaminated"] for r in gate.collect()}
+    assert flags["evt-0"] == 1
