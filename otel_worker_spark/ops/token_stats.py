@@ -726,6 +726,225 @@ FROM dec JOIN dup USING (doc_id)
 """
 
 
+# ------------------------------------------- mixture reweighting
+
+#: weight quantum — mixture weights are reported in parts-per-million.
+MIXTURE_PPM = 1_000_000
+
+#: sampling quantum: the first 6 hex chars of md5(doc_id) give a
+#: uniform integer in [0, 16^6) that both engines recompute exactly.
+SAMPLE_Q = 16**6
+
+
+def _isqrt_sql(n: str) -> str:
+    """Exact integer square root of a BIGINT expression, portable
+    across Spark and DuckDB. ``floor(sqrt(double))`` alone is already
+    bit-identical cross-engine (IEEE 754 requires sqrt correctly
+    rounded, unlike pow/log), but the CASE correction also makes the
+    result *mathematically* isqrt for any BIGINT, so the op's
+    semantics don't lean on floating point at all."""
+    s0 = f"CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= {n} THEN {s0} + 1"
+        f" WHEN {s0} * {s0} > {n} THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+def _src_cte() -> str:
+    """Oracle prelude for the mixture family: per-doc (doc_id, source,
+    n_tok) scalars only — no token unnest, mirroring the Spark side
+    which never explodes the arrays either."""
+    from ..fixtures import DOC_ID, SERVICE, payload_sql, render
+
+    d = lambda s: render(s, "duckdb")
+    return f"""
+WITH p AS (
+  SELECT {d(DOC_ID)} AS doc_id, {d(SERVICE)} AS source,
+         length({d(payload_sql('duckdb'))}) AS n_tok
+  FROM events
+)"""
+
+
+def mixture_weights(tokens_df: DataFrame) -> DataFrame:
+    """Temperature-scaled source mixture weights — the data-mixture
+    reweighting step LLM training pipelines apply before sampling
+    (UniMax / XLM-R-style α-sampling, here with α = 1/2 so the
+    "pow" is an integer square root and the whole computation stays
+    exact BIGINT arithmetic, bit-identical cross-engine):
+
+        w(s)   = isqrt(n_src(s)) / Σ_t isqrt(n_src(t))
+        budget = Σ_t n_src(t)          (one epoch-equivalent)
+        sampled_tokens(s) = floor(budget · w(s))
+        epochs_permille(s) = floor(1000 · sampled / n_src)
+
+    Up-weighted (small) sources get epochs > 1000‰ (they repeat);
+    down-weighted (huge) sources get < 1000‰ (they are subsampled).
+    Overflow bound: budget · w_num ≤ n_total^1.5 < 2^63 holds through
+    n_total ≈ 4e12 tokens; the decade-up path rebases w_num to
+    per-million quanta like ``bigram_typicality``.
+
+    Scale shape: ONE |sources|-bounded hash exchange (map-side combine
+    collapses each partition to its per-source partials); the window
+    normalization runs on the |sources|-row frame — independent of
+    corpus rows."""
+    per = tokens_df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_src"),
+    )
+    w = per.withColumn("w_num", F.expr(_isqrt_sql("n_src")))
+    everything = Window.partitionBy()
+    en = w.select(
+        "*",
+        F.sum("w_num").over(everything).alias("_w_tot"),
+        F.sum("n_src").over(everything).alias("_budget"),
+    )
+    return en.select(
+        "source",
+        "n_docs",
+        "n_src",
+        "w_num",
+        F.expr(f"({MIXTURE_PPM} * w_num) div _w_tot").alias("weight_ppm"),
+        F.expr("(_budget * w_num) div _w_tot").alias("sampled_tokens"),
+        F.expr("(1000 * ((_budget * w_num) div _w_tot)) div n_src").alias(
+            "epochs_permille"
+        ),
+    )
+
+
+def mixture_weights_sql() -> str:
+    return f"""{_src_cte()}, per AS (
+  SELECT source, count(*) AS n_docs, sum(n_tok) AS n_src
+  FROM p GROUP BY 1
+), w AS (
+  SELECT source, n_docs, CAST(n_src AS BIGINT) AS n_src,
+         {_isqrt_sql('CAST(n_src AS BIGINT)')} AS w_num
+  FROM per
+), en AS (
+  SELECT *, sum(w_num) OVER () AS w_tot, sum(n_src) OVER () AS budget
+  FROM w
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_src, w_num,
+       CAST(({MIXTURE_PPM} * w_num) // w_tot AS BIGINT) AS weight_ppm,
+       CAST((budget * w_num) // w_tot AS BIGINT) AS sampled_tokens,
+       CAST((1000 * ((budget * w_num) // w_tot)) // n_src AS BIGINT)
+         AS epochs_permille
+FROM en
+"""
+
+
+def _uniform_expr() -> str:
+    """Deterministic per-document uniform in [0, 16^6): Horner fold of
+    the first 6 hex chars of md5(doc_id). Every piece — md5 (lowercase
+    hex in both engines), substr, instr over the hex alphabet — is
+    bit-portable integer arithmetic, so Spark and DuckDB agree exactly
+    (unlike rand(seed), whose generator is engine-specific)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(doc_id), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def sample_rates(mix_df: DataFrame) -> DataFrame:
+    """Per-source keep probability in SAMPLE_Q quanta, derived from a
+    ``mixture_weights`` frame:
+
+        rate_q(s) = min(SAMPLE_Q, floor(SAMPLE_Q · sampled/n_src))
+
+    Up-weighted sources cap at keep-all (real pipelines repeat epochs
+    instead — that's a write-side concern, not a gate). Split out from
+    ``sample_gate`` so the rate table can be FROZEN at release time
+    and served to the streaming gate as a static dimension. Overflow
+    bound: SAMPLE_Q · sampled < 2^63 needs n_src < 5.5e11
+    tokens/source (the rate branch only divides when sampled <
+    n_src); beyond that rebase the quantum."""
+    return mix_df.select(
+        "source",
+        F.expr(
+            f"CAST(CASE WHEN sampled_tokens >= n_src THEN {SAMPLE_Q}"
+            f" ELSE ({SAMPLE_Q} * sampled_tokens) div n_src END AS BIGINT)"
+        ).alias("rate_q"),
+    )
+
+
+def apply_sample_gate(tokens_df: DataFrame, rate_df: DataFrame) -> DataFrame:
+    """Deterministic Bernoulli thinning against a per-source rate
+    table: document d from source s is kept iff u(d) < rate_q(s),
+    where u is the md5-derived uniform (``_uniform_expr``).
+    Deterministic sampling (vs rand()) is what makes the 100-TB job
+    RETRYABLE: a re-executed task keeps exactly the same rows, so
+    speculative/retried stages can't double- or under-sample — and
+    the streaming twin lands identical decisions per micro-batch.
+
+    Scale shape: the |sources|-row rate frame broadcasts; the corpus
+    never shuffles — one narrow map computes u/kept per row."""
+    return (
+        tokens_df.select("doc_id", "source", "n_tok")
+        .join(F.broadcast(rate_df), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.expr(_uniform_expr()).alias("u_q"),
+            "rate_q",
+        )
+        .withColumn(
+            "kept", (F.col("u_q") < F.col("rate_q")).cast("int")
+        )
+    )
+
+
+def sample_gate(tokens_df: DataFrame) -> DataFrame:
+    """Mixture-weighted deterministic thinning of the corpus itself:
+    ``apply_sample_gate`` against the rates its own ``mixture_weights``
+    imply (the registry/oracle shape)."""
+    return apply_sample_gate(tokens_df, sample_rates(mixture_weights(tokens_df)))
+
+
+def sample_gate_sql() -> str:
+    return f"""{_src_cte()}, rate AS (
+  SELECT source,
+         CAST(CASE WHEN sampled_tokens >= n_src THEN {SAMPLE_Q}
+                   ELSE ({SAMPLE_Q} * sampled_tokens) // n_src
+              END AS BIGINT) AS rate_q
+  FROM ({mixture_weights_sql()}) m
+)
+SELECT p.doc_id, p.source, CAST(p.n_tok AS INT) AS n_tok,
+       {_uniform_expr()} AS u_q, rate.rate_q,
+       CAST(CASE WHEN {_uniform_expr()} < rate.rate_q THEN 1 ELSE 0 END
+            AS INT) AS kept
+FROM p JOIN rate USING (source)
+"""
+
+
+def salted_receipts(tokens_df: DataFrame) -> DataFrame:
+    """The north rule's "salted repartitioning by source handles
+    hot-service skew", applied to the per-source ingest receipts: a
+    two-phase (source, salt) → source count+sum aggregate
+    (``enrich.two_phase_count_sum``) so one hot service can never pin
+    its whole volume on a single task. The oracle is the PLAIN
+    GROUP BY — a hash match proves the salted plan is semantically
+    invisible.
+
+    Scale shape: phase 1 exchanges (source, salt) partials (map-side
+    combine bounds them at |sources|·|salts| rows per partition);
+    phase 2 combines the tiny partials — the hot key's volume is
+    spread across ``salt_buckets`` tasks by construction."""
+    from ..enrich import two_phase_count_sum
+
+    return two_phase_count_sum(
+        tokens_df.select("doc_id", "source", "n_tok"), "source", "n_tok"
+    )
+
+
+def salted_receipts_sql() -> str:
+    return f"""{_src_cte()}
+SELECT source, count(*) AS row_count, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+FROM p GROUP BY source
+"""
+
+
 # ----------------------------------------------------------- BPE trainer
 
 

@@ -858,6 +858,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # VERDICT r5 next-round #6), then the freshest tail. No row's
     # driver verification goes >2 rounds stale.
     return {
+        # --- round-6 late additions (never driver-verified) lead:
+        # exact-integer α=1/2 temperature mixture reweighting
+        # (UniMax/XLM-R-style source sampling weights, all BIGINT —
+        # isqrt instead of pow so nothing floats cross-engine)
+        "token_mixture_weights": lambda s, d: tks.mixture_weights(_tokens(s, d)),
+        # deterministic md5-uniform Bernoulli thinning realizing those
+        # rates (retry-stable sampling: a re-executed task keeps
+        # exactly the same rows — rand() cannot promise that)
+        "token_sample_gate": lambda s, d: tks.sample_gate(_tokens(s, d)),
+        # the north rule's salted two-phase skew aggregate on the
+        # per-source receipts; oracle = plain GROUP BY, so the hash
+        # match proves the salt is semantically invisible
+        "token_salted_receipts": lambda s, d: tks.salted_receipts(_tokens(s, d)),
         # --- round-6 token-corpus family (never driver-verified):
         # the north-rule payload is pre-tokenized sequences, so the
         # engine gets token-NATIVE corpus statistics — BPE pair
@@ -1024,6 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # ordered to mirror queries() — never-driver-verified entries first
     return {
+        "token_mixture_weights": tks.mixture_weights_sql(),
+        "token_sample_gate": tks.sample_gate_sql(),
+        "token_salted_receipts": tks.salted_receipts_sql(),
         "token_bigram_typicality": tks.bigram_typicality_sql(),
         "token_doc_dup_filter": tks.doc_dup_filter_sql(),
         "token_zipf_coverage": tks.zipf_coverage_sql(),

@@ -609,6 +609,63 @@ def decontaminate_stream(
     )
 
 
+def sample_gate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    rates_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming mixture sampling — the streaming twin of
+    ``ops.token_stats.sample_gate``: a live stream of pre-tokenized
+    sequences (the north-rule table shape) is thinned per micro-batch
+    against a STATIC per-source rate table built once by
+    ``ops.token_stats.sample_rates(mixture_weights(reference))`` and
+    persisted at ``rates_dir`` (mixture weights are frozen at release
+    time from a reference corpus snapshot — recomputing them from each
+    micro-batch would make the keep decision depend on arrival
+    batching, which is exactly what the deterministic gate exists to
+    prevent).
+
+    Stateless per document — the md5-uniform and the broadcast rate
+    lookup live entirely in the doc's own row, so no state store is
+    involved, and because the uniform is content-derived (not rand()),
+    a replayed micro-batch lands IDENTICAL keep decisions; the
+    epoch-idempotent sink then makes the replay rewrite instead of
+    duplicate — exactly-once end to end with checkpoint restarts.
+    """
+    from pyspark.sql import types as T
+
+    from .ops import token_stats as tks
+
+    TOK_SCHEMA = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    rates = spark.read.parquet(rates_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        gated = tks.apply_sample_gate(batch_df, rates)
+        epoch_idempotent_sink(out_dir)(gated, epoch_id)
+
+    reader = spark.readStream.schema(TOK_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return (
+        reader.load(source_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def range_join_stream(
     spark: SparkSession,
     source_dir: str,

@@ -338,3 +338,108 @@ def test_jobs_token_curate_cli(spark, tmp_path):
     # JSON scaffolding with itself → must be flagged contaminated
     flags = {r["doc_id"]: r["contaminated"] for r in gate.collect()}
     assert flags["evt-0"] == 1
+
+
+# ------------------------------------------- mixture / sampling / salt
+
+
+def _mk_tokens(spark, rows):
+    """(doc_id, tokens, n_tok, source) frame from (doc_id, n_tok, source)
+    triples — token contents don't matter to the mixture family."""
+    data = [(d, list(range(n % 7 + 2)), n, s) for d, n, s in rows]
+    return spark.createDataFrame(
+        data, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_mixture_weights_oracle(spark, con, tok):
+    assert_match(tks.mixture_weights(tok), con, tks.mixture_weights_sql(), 2)
+
+
+def test_sample_gate_oracle(spark, con, tok):
+    assert_match(tks.sample_gate(tok), con, tks.sample_gate_sql(), 500)
+
+
+def test_salted_receipts_oracle(spark, con, tok):
+    assert_match(tks.salted_receipts(tok), con, tks.salted_receipts_sql(), 2)
+
+
+def test_mixture_weights_invariants(spark):
+    """α=1/2 reweighting on a 100×-skewed corpus: exact isqrt
+    numerators, weights sum to ≤1e6 ppm (floor rounding), the small
+    source is up-weighted past one epoch and the huge one below."""
+    import math
+
+    rows = [(f"s{i}", 1000, "small") for i in range(10)] + [
+        (f"b{i}", 1000, "big") for i in range(1000)
+    ]
+    out = {
+        r["source"]: r
+        for r in tks.mixture_weights(_mk_tokens(spark, rows)).collect()
+    }
+    assert out["small"]["n_src"] == 10_000 and out["big"]["n_src"] == 1_000_000
+    for r in out.values():
+        assert r["w_num"] == math.isqrt(r["n_src"])
+    total_ppm = sum(r["weight_ppm"] for r in out.values())
+    assert 1_000_000 - len(out) <= total_ppm <= 1_000_000
+    assert out["small"]["epochs_permille"] > 1000 > out["big"]["epochs_permille"]
+    budget = sum(r["n_src"] for r in out.values())
+    assert sum(r["sampled_tokens"] for r in out.values()) <= budget
+
+
+def test_sample_gate_realizes_rates_and_is_deterministic(spark):
+    """The md5-uniform thinning hits the mixture's keep rate in
+    expectation (±5σ binomial band) on the down-weighted source, keeps
+    everything on the up-weighted one, kept ⇔ u_q < rate_q row-wise,
+    and a re-execution keeps EXACTLY the same rows (the retry-safety
+    property rand() cannot give)."""
+    rows = [(f"s{i}", 1000, "small") for i in range(50)] + [
+        (f"b{i}", 1000, "big") for i in range(4000)
+    ]
+    tok = _mk_tokens(spark, rows)
+    g = tks.sample_gate(tok).toPandas().set_index("doc_id")
+    assert ((g["u_q"] < g["rate_q"]).astype(int) == g["kept"]).all()
+    small = g[g["source"] == "small"]
+    assert small["kept"].all()  # upsampled → rate capped at keep-all
+    big = g[g["source"] == "big"]
+    p = big["rate_q"].iloc[0] / tks.SAMPLE_Q
+    assert p < 1
+    n = len(big)
+    sigma = (n * p * (1 - p)) ** 0.5
+    assert abs(big["kept"].sum() - n * p) < 5 * sigma
+    g2 = tks.sample_gate(tok).toPandas().set_index("doc_id")
+    assert g2["kept"].sort_index().equals(g["kept"].sort_index())
+
+
+def test_sample_gate_plan_broadcasts_rates(spark, tok):
+    """The corpus side never shuffles: the per-source rate frame joins
+    in via BroadcastHashJoin, not a sort-merge exchange."""
+    plan = (
+        tks.sample_gate(tok)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_receipts_matches_plain_groupby_on_hot_key(spark):
+    """90%-hot-key input: the two-phase salted aggregate is
+    semantically invisible, and its phase-1 exchange really keys on
+    (source, content-salt) — pmod(xxhash64(...)) in the plan."""
+    rows = [(f"h{i}", i % 100 + 1, "hot") for i in range(9000)] + [
+        (f"c{i}", i % 100 + 1, f"cold-{i % 7}") for i in range(1000)
+    ]
+    tok = _mk_tokens(spark, rows)
+    salted = tks.salted_receipts(tok)
+    plain = (
+        tok.groupBy("source")
+        .agg(F.count("*").alias("row_count"), F.sum("n_tok").alias("sum_n_tok"))
+    )
+    a = salted.toPandas().sort_values("source").reset_index(drop=True)
+    b = plain.toPandas().sort_values("source").reset_index(drop=True)
+    assert a.equals(b[a.columns])
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "xxhash64" in plan
