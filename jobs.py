@@ -14,6 +14,7 @@ Run on a cluster as:
     spark-submit ... jobs.py delete-trace --stores /data/otel --trace-id <hex>
     spark-submit ... jobs.py token-curate --tokens /data/token_sequences \\
         --out /data/gate --bench /data/benchmarks [--kept-out /data/kept]
+        [--mixture --rates-out /data/rates]
     spark-submit ... jobs.py ann-build --embeddings /data/emb --index /data/ann
     spark-submit ... jobs.py ann-serve --embeddings /data/emb --index /data/ann --k 5
     spark-submit ... jobs.py bench           (local benchmarking, see bench.py)
@@ -179,11 +180,27 @@ def cmd_token_curate(args) -> None:
     gate = tks.curation_gate(tok, bench_grams_df=bench)
     gate.write.mode("errorifexists").option("compression", "zstd").parquet(args.out)
     gate = spark.read.parquet(args.out)
-    if args.kept_out:
-        kept = tok.join(
-            gate.where("kept = 1").select("doc_id"), "doc_id", "left_semi"
+    kept_tok = tok.join(
+        gate.where("kept = 1").select("doc_id"), "doc_id", "left_semi"
+    )
+    sampled = None
+    if args.mixture:
+        # α=1/2 temperature mixture over the POST-gate corpus: the
+        # gate decides admissibility, the mixture decides volume.
+        # Rates are frozen from this snapshot (and optionally
+        # persisted — the artifact streaming.sample_gate_stream
+        # serves), then the deterministic md5-uniform gate thins.
+        rates = tks.sample_rates(tks.mixture_weights(kept_tok))
+        if args.rates_out:
+            rates.write.mode("errorifexists").parquet(args.rates_out)
+            rates = spark.read.parquet(args.rates_out)
+        decisions = tks.apply_sample_gate(kept_tok, rates)
+        kept_tok = tok.join(
+            decisions.where("kept = 1").select("doc_id"), "doc_id", "left_semi"
         )
-        kept.write.mode("errorifexists").option("compression", "zstd").parquet(
+        sampled = decisions.agg(F.sum("kept")).collect()[0][0] or 0
+    if args.kept_out:
+        kept_tok.write.mode("errorifexists").option("compression", "zstd").parquet(
             args.kept_out
         )
     row = gate.agg(
@@ -197,9 +214,11 @@ def cmd_token_curate(args) -> None:
         "dropped": row["dropped"],
         "contaminated": row["contaminated"],
         "kept": row["kept"],
+        "sampled": sampled,
         "bench": args.bench or "fixture-holdout",
         "out": args.out,
         "keptOut": args.kept_out,
+        "ratesOut": args.rates_out if args.mixture else None,
     }))
 
 
@@ -494,6 +513,13 @@ def main() -> None:
                      help="benchmark token parquet; omit to gate against the "
                           "fixture's deterministic holdout")
     ptc.add_argument("--kept-out", help="also write the kept token rows here")
+    ptc.add_argument("--mixture", action="store_true",
+                     help="after the gate, thin kept rows by the α=1/2 "
+                          "temperature mixture rates (deterministic "
+                          "md5-uniform sampling, ops/token_stats)")
+    ptc.add_argument("--rates-out",
+                     help="with --mixture: persist the frozen per-source "
+                          "rate table (the streaming gate's static dim)")
     ptc.set_defaults(fn=cmd_token_curate)
 
     pab = sub.add_parser("ann-build")

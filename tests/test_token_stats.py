@@ -443,3 +443,52 @@ def test_salted_receipts_matches_plain_groupby_on_hot_key(spark):
     assert a.equals(b[a.columns])
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "pmod" in plan and "xxhash64" in plan
+
+
+def test_jobs_token_curate_cli_with_mixture(spark, tmp_path):
+    """`jobs.py token-curate --mixture` composes the full release
+    pipeline: gate → freeze mixture rates → deterministic thinning.
+    Short unique docs (no L-windows) all pass the gate, so the
+    sampled count is pure mixture behavior: the hot source thins, the
+    small source survives whole, and --rates-out lands the frozen
+    rate table the streaming gate would serve."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = [(f"hot-{i}", 40 + i % 9, "hot") for i in range(3000)] + [
+        (f"small-{i}", 40 + i % 9, "small") for i in range(50)
+    ]
+    tok = _mk_tokens(spark, rows)  # 2-8 tokens/doc → below SPAN_L
+    bench = _mk_tokens(spark, [(f"bench-{i}", 40, "bench") for i in range(5)])
+    tok_dir, bench_dir = str(tmp_path / "tok"), str(tmp_path / "bench")
+    out_dir, kept_dir = str(tmp_path / "gate"), str(tmp_path / "kept")
+    rates_dir = str(tmp_path / "rates")
+    tok.write.parquet(tok_dir)
+    bench.write.parquet(bench_dir)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs.py"), "token-curate",
+         "--tokens", tok_dir, "--out", out_dir, "--bench", bench_dir,
+         "--kept-out", kept_dir, "--mixture", "--rates-out", rates_dir],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    receipt = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert receipt["kept"] == 3050  # no windows → everything gated in
+    assert 0 < receipt["sampled"] < 3050  # mixture actually thinned
+    landed = spark.read.parquet(kept_dir)
+    assert landed.count() == receipt["sampled"]
+    # the landed rows are exactly the batch gate's keeps against the
+    # SAME frozen rates — the CLI is replayable end to end
+    rates = spark.read.parquet(rates_dir)
+    want = {
+        r["doc_id"]
+        for r in tks.apply_sample_gate(tok, rates).where("kept = 1").collect()
+    }
+    assert {r["doc_id"] for r in landed.collect()} == want
+    by_src = {r["source"]: r["rate_q"] for r in rates.collect()}
+    assert by_src["small"] == tks.SAMPLE_Q  # tiny source: keep-all
+    assert by_src["hot"] < tks.SAMPLE_Q  # hot source: thinned
