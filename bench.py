@@ -593,12 +593,35 @@ def main() -> None:
     # sweep AFTER the accepted window, own session (detail-file only;
     # BENCH_SKIP_SWEEP=1 skips it for fast scaling-only iterations)
     skip_extra = os.environ.get("BENCH_SKIP_SWEEP") == "1"
+    # a skip-sweep run is a scaling-only iteration: carry the previous
+    # detail file's sweep/secondary blocks forward instead of
+    # clobbering them with empties (they describe the same code — the
+    # point of the skip is to NOT redo that work), and remember the
+    # previous headline so its scaling attempt can be archived rather
+    # than silently replaced.
+    prior_detail: dict = {}
+    if skip_extra:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+                )
+            ) as fh:
+                prior_detail = json.load(fh)
+        except Exception:
+            prior_detail = {}
     detail = {
         "query_runs": primary.get("query_runs", {}),
-        "registry": {} if skip_extra else _run_registry_sweep(),
+        "registry": (
+            prior_detail.get("registry", {}) if skip_extra else _run_registry_sweep()
+        ),
     }
     if skip_extra:
-        detail["secondary_window"] = {}
+        detail["secondary_window"] = prior_detail.get("secondary_window", {})
+        if prior_detail.get("secondary_errors"):
+            detail["secondary_errors"] = prior_detail["secondary_errors"]
+        if prior_detail.get("secondary_probes"):
+            detail["secondary_probes"] = prior_detail["secondary_probes"]
     else:
         # same-sf second window for the heavy secondary queries —
         # merged (min) into the compact line just before printing, but
@@ -789,7 +812,10 @@ def main() -> None:
     # and only from a CLEAN secondary window (judged against the final
     # session median, like the attempt re-judge above)
     merged = []
-    sec_probes = detail.get("secondary_probes")
+    # carried-forward blocks (skip-sweep runs) were measured in a
+    # DIFFERENT session: archive them in the detail file but never
+    # min-merge them into this run's headline queries
+    sec_probes = None if skip_extra else detail.get("secondary_probes")
     sec_clean = bool(sec_probes) and _is_clean(
         min(sec_probes["before"], sec_probes["after"])
     )
@@ -804,6 +830,29 @@ def main() -> None:
         result["secondary_rescored"] = sorted(merged)
     if detail.get("secondary_errors"):
         result["secondary_errors"] = sorted(detail["secondary_errors"])
+
+    # a skip-sweep re-run replaces the headline; keep every prior
+    # scaling attempt visible (no silent cherry-picking — all pairs of
+    # all sessions stay in the archive, per the drift protocol)
+    prior_headline = prior_detail.get("headline", {})
+    if skip_extra and prior_headline:
+        detail["headline_prior"] = {
+            k: v for k, v in prior_headline.items() if k != "scaling_history"
+        }
+    if skip_extra and prior_headline.get("scaling"):
+        result["scaling_history"] = prior_headline.get("scaling_history", []) + [
+            {
+                k: prior_headline["scaling"].get(k)
+                for k in (
+                    "throughput_low",
+                    "throughput_high",
+                    "efficiency",
+                    "efficiency_median",
+                    "clean_rounds",
+                    "round_pairs",
+                )
+            }
+        ]
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
