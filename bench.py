@@ -599,17 +599,19 @@ def main() -> None:
     # point of the skip is to NOT redo that work), and remember the
     # previous headline so its scaling attempt can be archived rather
     # than silently replaced.
+    # read the prior detail file on EVERY run (not just skip-sweep):
+    # the scaling-attempt history must survive full runs too, or a
+    # routine full bench would wipe the archive the skip runs built
     prior_detail: dict = {}
-    if skip_extra:
-        try:
-            with open(
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-                )
-            ) as fh:
-                prior_detail = json.load(fh)
-        except Exception:
-            prior_detail = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            )
+        ) as fh:
+            prior_detail = json.load(fh)
+    except Exception:
+        prior_detail = {}
     detail = {
         "query_runs": primary.get("query_runs", {}),
         "registry": (
@@ -828,19 +830,33 @@ def main() -> None:
                 merged.append(name)
     if merged:
         result["secondary_rescored"] = sorted(merged)
-    if detail.get("secondary_errors"):
+    # carried-forward secondary_errors describe a DIFFERENT session's
+    # window — keep them in the detail archive only, never in this
+    # run's headline (a since-fixed query must not keep reporting)
+    if detail.get("secondary_errors") and not skip_extra:
         result["secondary_errors"] = sorted(detail["secondary_errors"])
 
-    # a skip-sweep re-run replaces the headline; keep every prior
-    # scaling attempt visible (no silent cherry-picking — all pairs of
-    # all sessions stay in the archive, per the drift protocol)
+    # every run replaces the headline; keep every prior scaling
+    # attempt visible regardless of run flavor (no silent
+    # cherry-picking — all pairs of all sessions stay in the archive,
+    # per the drift protocol). Chain the prior headline's history even
+    # when that headline itself ran with BENCH_SCALING=0, append its
+    # own scaling block if it has one, and bound the chain so the
+    # file doesn't grow without limit across rounds.
     prior_headline = prior_detail.get("headline", {})
     if skip_extra and prior_headline:
         detail["headline_prior"] = {
             k: v for k, v in prior_headline.items() if k != "scaling_history"
         }
-    if skip_extra and prior_headline.get("scaling"):
-        result["scaling_history"] = prior_headline.get("scaling_history", []) + [
+    # summary-only entries (no round_pairs): the compact stdout line
+    # must stay parseable by the driver's tail capture — full pairs
+    # live in each session's own archived headline / headline_prior
+    history = [
+        {k: h.get(k) for k in h if k != "round_pairs"}
+        for h in prior_headline.get("scaling_history", [])
+    ]
+    if prior_headline.get("scaling"):
+        history.append(
             {
                 k: prior_headline["scaling"].get(k)
                 for k in (
@@ -849,10 +865,11 @@ def main() -> None:
                     "efficiency",
                     "efficiency_median",
                     "clean_rounds",
-                    "round_pairs",
                 )
             }
-        ]
+        )
+    if history:
+        result["scaling_history"] = history[-10:]
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -170,6 +170,8 @@ def cmd_token_curate(args) -> None:
 
     from otel_worker_spark.ops import token_stats as tks
 
+    if args.rates_out and not args.mixture:
+        raise SystemExit("token-curate: --rates-out requires --mixture")
     spark = get_spark("token-curate")
     tok = spark.read.parquet(args.tokens)
     bench = (
@@ -194,7 +196,10 @@ def cmd_token_curate(args) -> None:
         if args.rates_out:
             rates.write.mode("errorifexists").parquet(args.rates_out)
             rates = spark.read.parquet(args.rates_out)
-        decisions = tks.apply_sample_gate(kept_tok, rates)
+        # persisted: both the receipt count and the --kept-out write
+        # consume the decisions, and without a cache each would replay
+        # the full scan → gate → thinning lineage
+        decisions = tks.apply_sample_gate(kept_tok, rates).persist()
         kept_tok = tok.join(
             decisions.where("kept = 1").select("doc_id"), "doc_id", "left_semi"
         )

@@ -737,15 +737,22 @@ SAMPLE_Q = 16**6
 
 
 def _isqrt_sql(n: str) -> str:
-    """Exact integer square root of a BIGINT expression, portable
-    across Spark and DuckDB. ``floor(sqrt(double))`` alone is already
-    bit-identical cross-engine (IEEE 754 requires sqrt correctly
-    rounded, unlike pow/log), but the CASE correction also makes the
-    result *mathematically* isqrt for any BIGINT, so the op's
-    semantics don't lean on floating point at all."""
+    """Exact integer square root of a non-negative BIGINT expression,
+    portable across Spark and DuckDB. ``floor(sqrt(double))`` alone is
+    already bit-identical cross-engine (IEEE 754 requires sqrt
+    correctly rounded, unlike pow/log), but the CASE correction also
+    makes the result *mathematically* isqrt for any BIGINT, so the
+    op's semantics don't lean on floating point at all.
+
+    The upward check is written ``s0² ≤ n − 2·s0 − 1`` (algebraically
+    (s0+1)² ≤ n) because the naive ``(s0+1)*(s0+1)`` overflows BIGINT
+    for n ≥ 3037000499² ≈ 9.22e18 — ANSI Spark would throw and DuckDB
+    would error on inputs near the top of the range. In this form
+    every intermediate fits: s0 ≤ 3037000499 for any BIGINT n, so
+    s0² ≤ 9.2233720309e18 < 2^63−1 and n − 2·s0 − 1 never wraps."""
     s0 = f"CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
     return (
-        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= {n} THEN {s0} + 1"
+        f"(CASE WHEN {s0} * {s0} <= {n} - 2 * {s0} - 1 THEN {s0} + 1"
         f" WHEN {s0} * {s0} > {n} THEN {s0} - 1 ELSE {s0} END)"
     )
 

@@ -577,26 +577,33 @@ def decontaminate_stream(
     uncommitted batches rewrite instead of duplicate — exactly-once
     end to end with checkpoint restarts for free.
     """
-    from pyspark.sql import types as T
-
     from .ops import token_stats as tks
 
     span_l = L if L is not None else tks.SPAN_L
-    TOK_SCHEMA = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType()),
-            T.StructField("tokens", T.ArrayType(T.IntegerType())),
-            T.StructField("n_tok", T.IntegerType()),
-            T.StructField("source", T.StringType()),
-        ]
-    )
     bench = spark.read.parquet(bench_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         scored = tks.decontaminate_probe(batch_df, bench, span_l)
         epoch_idempotent_sink(out_dir)(scored, epoch_id)
 
-    reader = spark.readStream.schema(TOK_SCHEMA).format("parquet")
+    return _token_stream_job(
+        spark, source_dir, checkpoint_dir, process, max_files_per_trigger
+    )
+
+
+def _token_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    process,
+    max_files_per_trigger: int | None = None,
+):
+    """Shared scaffold for the stream-static token operators: a
+    parquet stream of the north-rule table (the canonical
+    ``TOKEN_SEQUENCES_SCHEMA`` — one definition, not a per-operator
+    copy that could drift when the table gains a column), a
+    foreachBatch processor, checkpointed availableNow trigger."""
+    reader = spark.readStream.schema(TOKEN_SEQUENCES_SCHEMA).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return (
@@ -635,34 +642,16 @@ def sample_gate_stream(
     epoch-idempotent sink then makes the replay rewrite instead of
     duplicate — exactly-once end to end with checkpoint restarts.
     """
-    from pyspark.sql import types as T
-
     from .ops import token_stats as tks
 
-    TOK_SCHEMA = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType()),
-            T.StructField("tokens", T.ArrayType(T.IntegerType())),
-            T.StructField("n_tok", T.IntegerType()),
-            T.StructField("source", T.StringType()),
-        ]
-    )
     rates = spark.read.parquet(rates_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         gated = tks.apply_sample_gate(batch_df, rates)
         epoch_idempotent_sink(out_dir)(gated, epoch_id)
 
-    reader = spark.readStream.schema(TOK_SCHEMA).format("parquet")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return (
-        reader.load(source_dir)
-        .writeStream.outputMode("append")
-        .foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _token_stream_job(
+        spark, source_dir, checkpoint_dir, process, max_files_per_trigger
     )
 
 

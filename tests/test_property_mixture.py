@@ -22,7 +22,13 @@ from otel_worker_spark.ops import token_stats as tks
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
-        st.integers(min_value=0, max_value=2**62),
+        # full non-negative BIGINT range — the overflow-free upward
+        # check must hold right up to 2^63-1 (perfect squares near the
+        # top are the regression case for the naive (s0+1)^2 form)
+        st.integers(min_value=0, max_value=2**63 - 1)
+        | st.sampled_from(
+            [2**63 - 1, 3037000499**2, 3037000499**2 - 1, 3037000499**2 + 1]
+        ),
         min_size=1,
         max_size=40,
         unique=True,
