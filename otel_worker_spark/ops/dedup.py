@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .common import MERSENNE31, hash31_sql, minhash_perms, shingles_expr
+from .common import MERSENNE31, hash31_sql, minhash_perms, shingles_expr, spread
 
 N_PERMS = 16
 N_BANDS = 4  # 4 rows per band
@@ -79,16 +79,36 @@ def _shingles_spark_sql() -> str:
     )
 
 
-def _hashes_spark_sql(hash_impl: str = "md5") -> str:
+def _hashes_spark_sql(hash_impl: str = "md5", distinct: bool = True) -> str:
     """Shingle-hash expression. ``md5`` is the portable form the DuckDB
     oracle can reproduce; ``xxhash64`` is the production form (JVM
     native, ~5-10x cheaper) with identical op structure — swap freely,
-    only cross-engine verification requires md5."""
+    only cross-engine verification requires md5.
+
+    ``distinct=False`` skips the ``array_distinct`` dedup of the
+    shingle set AND fuses slice→hash into one ``transform`` (no
+    intermediate string array). Only valid for consumers that are
+    multiset-insensitive: the MinHash fold is (``array_min`` over the
+    hash multiset ≡ min over its set, r7 measurement: the distinct was
+    ~35%% of signature wall), the SimHash majority vote is NOT (it
+    weights repeated shingles) and keeps the distinct form."""
+    if distinct:
+        if hash_impl == "xxhash64":
+            return f"transform({_shingles_spark_sql()}, s -> pmod(xxhash64(s), {MERSENNE31}))"
+        return (
+            f"transform({_shingles_spark_sql()}, s ->"
+            f" (CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MERSENNE31}))"
+        )
+    seq = f"sequence(1, greatest(1, length(text) - {SHINGLE_K - 1}))"
     if hash_impl == "xxhash64":
-        return f"transform({_shingles_spark_sql()}, s -> pmod(xxhash64(s), {MERSENNE31}))"
+        return (
+            f"transform({seq},"
+            f" i -> pmod(xxhash64(substring(text, i, {SHINGLE_K})), {MERSENNE31}))"
+        )
     return (
-        f"transform({_shingles_spark_sql()}, s ->"
-        f" (CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MERSENNE31}))"
+        f"transform({seq}, i ->"
+        f" (CAST(conv(substring(md5(substring(text, i, {SHINGLE_K})), 1, 15), 16, 10)"
+        f" AS BIGINT) % {MERSENNE31}))"
     )
 
 
@@ -155,8 +175,14 @@ def minhash_signatures(
     Above MINHASH_FOLD_KERNEL_PERMS the fold dispatches to the numpy
     Arrow kernel (bit-identical int64 math, equality-tested).
     """
-    hashes = _hashes_spark_sql(hash_impl)
-    hashed = documents.select("doc_id", F.expr(hashes).alias("hs"))
+    # hash-then-distinct: the fused form never materializes the string
+    # shingle array, and the dedup that shrinks the P-fold input runs
+    # over int64s instead of strings (cheaper sort/hash). Identical
+    # signatures either way: array_min is multiset-insensitive, and
+    # distinct-of-hashes vs hashes-of-distinct differ only in
+    # duplicate multiplicity.
+    hashes = f"array_distinct({_hashes_spark_sql(hash_impl, distinct=False)})"
+    hashed = spread(documents).select("doc_id", F.expr(hashes).alias("hs"))
     if n_perms > MINHASH_FOLD_KERNEL_PERMS:
         return _minhash_fold_arrow(hashed, n_perms)
     perms = minhash_perms(n_perms)
@@ -229,6 +255,12 @@ def band_frame(
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
 
+
+#: fixpoint-edge-count gate for broadcasting the component assignment
+#: into the survivor join (a star forest has ≤ 2·edges rows; 5M edges
+#: ≈ 160 MB built — comfortably under the broadcast cap, far past any
+#: fixture). Above it the join stays sort-merge.
+BROADCAST_COMPONENTS_MAX_EDGES = 5_000_000
 
 #: every signature frame minhash_lsh_pairs persists, so long-running
 #: drivers can release cache deterministically between plans
@@ -399,7 +431,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
     bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
     # both sides of the band self-join derive from the signature frame
     # — persist it so the 32-bit vote fold runs once, not per side
-    sigs = simhash(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = simhash(spread(documents)).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED_SIGS.append(sigs)
     bands = sigs.select(
         "doc_id",
@@ -508,11 +540,11 @@ def verified_pairs(
             .union(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh = documents.join(F.broadcast(ids), "doc_id", "left_semi").select(
+        sh = spread(documents).join(F.broadcast(ids), "doc_id", "left_semi").select(
             "doc_id", shingles_expr("text", SHINGLE_K).alias("sh")
         )
     else:
-        sh = documents.select("doc_id", shingles_expr("text", SHINGLE_K).alias("sh"))
+        sh = spread(documents).select("doc_id", shingles_expr("text", SHINGLE_K).alias("sh"))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED_SIGS.append(sh)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -581,38 +613,47 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
 
     Returns ``(doc_id, component)`` for every node that appears in an
     edge (singletons absent — callers left-join and coalesce).
-    """
-    # checkpoint the INPUT once before symmetrizing: the union below
-    # has the edge plan in BOTH branches, and Spark does not dedupe
-    # common subplans — an expensive upstream (dedup_groups feeds the
-    # whole LSH→verify pipeline in here) would run twice
-    base = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).localCheckpoint(eager=True)
-    e = (
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where("src <> dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
 
-    def round_edges(cur: DataFrame, large: bool) -> DataFrame:
-        nbrs = cur.union(
-            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-        # neighborhood minimum including the node itself (first("src")
-        # inside a src-group is src — avoids a second self-loop union)
-        mins = nbrs.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("m")
+    Physical shape (r7 rework — identical fixpoint, fewer exchanges
+    and driver jobs): edges symmetrize via one ``explode`` (no
+    union-of-the-same-subtree, so the expensive upstream plan appears
+    ONCE and needs no pre-checkpoint); each star is the adjacency
+    formulation — ONE ``collect_set`` groupBy (which also absorbs the
+    neighbor-list distinct) + the per-node emit, so a full round is 3
+    exchanges instead of ~8; the per-round ``localCheckpoint`` is LAZY
+    and materialized by the convergence-signature aggregate — one
+    driver job per round instead of two.
+    """
+
+    def sym(cur: DataFrame) -> DataFrame:
+        return cur.select(
+            F.explode(
+                F.expr("array(struct(src, dst), struct(dst AS src, src AS dst))")
+            ).alias("e")
+        ).select("e.src", "e.dst")
+
+    def star(cur: DataFrame, large: bool) -> DataFrame:
+        # adjacency per node (collect_set dedups — the explicit
+        # neighbor-list distinct of the old shape is absorbed here),
+        # m = min of the neighborhood incl. the node itself; every
+        # strictly-larger (large) / smaller-or-equal (small) neighbor
+        # is pointed at m, and the node itself points at m too
+        adj = (
+            sym(cur)
+            .groupBy("src")
+            .agg(F.collect_set("dst").alias("ns"))
+            .withColumn("m", F.least(F.col("src"), F.array_min("ns")))
         )
-        joined = nbrs.join(mins, "src")
-        kept = joined.where("dst > src" if large else "dst <= src")
-        return (
-            kept.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .union(mins.select("src", F.col("m").alias("dst")))
-            .where("src <> dst")
-            .distinct()
-        )
+        cond = "d > src" if large else "d <= src"
+        return adj.select(
+            F.explode(
+                F.expr(
+                    "concat(transform(filter(ns, d -> {c}),"
+                    " d -> struct(d AS src, m AS dst)),"
+                    " array(struct(src, m AS dst)))".format(c=cond)
+                )
+            ).alias("e"),
+        ).select("e.src", "e.dst").where("src <> dst")
 
     def sig(cur: DataFrame) -> tuple:
         row = cur.agg(
@@ -622,24 +663,39 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = sig(e)
+    e = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .transform(sym)
+        .where("src <> dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev = sig(e)  # materializes the lazy checkpoint in the same job
     for _ in range(max_iterations):
-        # one checkpoint per FULL round: the two-star lineage is
-        # bounded, and the per-round action count (the wall-clock
-        # driver at small edge sets) drops from 3 jobs to 2
-        e = round_edges(round_edges(e, large=True), large=False).localCheckpoint(
-            eager=True
+        e = (
+            star(star(e, large=True), large=False)
+            .distinct()
+            .localCheckpoint(eager=False)
         )
         cur = sig(e)
         if cur == prev:
             break
         prev = cur
-    nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return (
-        nbrs.groupBy("src")
+    comp = (
+        sym(e)
+        .groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
         .select(F.col("src").alias("doc_id"), "component")
     )
+    if prev[0] is not None and prev[0] <= BROADCAST_COMPONENTS_MAX_EDGES:
+        # the fixpoint edge count is known for free from the last
+        # convergence signature; a star forest has ≤ 2·edges assignment
+        # rows, so below the gate the survivor join can broadcast the
+        # assignment instead of shuffling the full corpus id list.
+        # Scale-adaptive: a 10^9-duplicate corpus exceeds the gate and
+        # falls back to the sort-merge join.
+        comp = F.broadcast(comp)
+    return comp
 
 
 def dedup_groups(
