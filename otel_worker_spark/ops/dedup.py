@@ -314,15 +314,29 @@ def minhash_lsh_pairs(
     _PERSISTED_SIGS.append(sigs)
     bands = band_frame(sigs, n_perms, n_bands)
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # bucket-and-combine instead of a band self-equi-join (r7): one
+    # groupBy exchange of the narrow (band, band_sig, doc_id) rows,
+    # then in-bucket i<j pair expansion — the self-join shape scanned
+    # the band frame twice and paid two more exchanges (join + sort)
+    # for the identical pair set. Sorting ids makes doc_a < doc_b by
+    # construction. Hot-bucket skew is the same in both shapes (a
+    # bucket's pairs are quadratic and land on one key either way).
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     cand = (
-        a.join(b, ["band", "band_sig"])
-        .where(F.expr("a.doc_id < b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     if threshold <= 0.0:
