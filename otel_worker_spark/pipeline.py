@@ -18,8 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from .enrich import enrich_spans
 from .parse import parse_token_sequences
 from .route import signal_expr, sink_receipts, span_added_manifest
@@ -138,15 +136,16 @@ def ingest_batch(
         return {**committed[bid], "skipped": True}
 
     routed = transform_batch(token_df, service_lookup)
-    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        receipt = stores.spans.append(routed, batch_id, partition_by="signal")
-        rec_df = sink_receipts(routed.filter(F.col("signal") != "quarantine"), batch_id)
-        stores.receipts.append(rec_df, batch_id)
-        stores.manifest.append(
-            span_added_manifest(routed.filter(F.col("signal") != "quarantine"), batch_id),
-            batch_id,
-        )
-        return {**receipt, "skipped": False}
-    finally:
-        routed.unpersist()
+    receipt = stores.spans.append(routed, batch_id, partition_by="signal")
+    # receipts/manifest read the JUST-WRITTEN batch files instead of a
+    # persisted copy of the wide routed frame (r7: the persist
+    # serialized every attribute map/event array into block storage
+    # purely to feed two narrow aggregates — the parquet read-back
+    # column-prunes to (n_tok) and (trace_id, span_id) and is the
+    # exact path the crash-repair replay below already takes, so the
+    # emitted rows are identical by construction).
+    written = stores.spans.read_batch(str(batch_id))
+    live = written.filter(F.col("signal") != "quarantine")
+    stores.receipts.append(sink_receipts(live, batch_id), batch_id)
+    stores.manifest.append(span_added_manifest(live, batch_id), batch_id)
+    return {**receipt, "skipped": False}
