@@ -388,12 +388,24 @@ def ivfpq_serve_topk(
     ADC sum JVM-side. This is the production ANN serving plan: the
     corpus contribution is n_probe/n_centroids of an m-bytes/vector
     table, read file-pruned from disk."""
-    qrows = (
-        embeddings.where(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    return ivfpq_serve_rows(embeddings.sparkSession, root, qrows, k, n_probe)
+    # the three model/query fetches (query vectors, coarse centroids,
+    # residual codebooks) are independent tiny jobs — overlap them
+    # from a small thread pool so the serve call pays one job latency,
+    # not three in sequence (guide §2.6 back-fill; a real serving
+    # coordinator fetches its metadata concurrently too)
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = embeddings.sparkSession
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_q = pool.submit(
+            lambda: embeddings.where(F.col("vec_id") < n_queries)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        f_c = pool.submit(_read_coarse_matrix, spark, root)
+        f_cb = pool.submit(_read_codebooks, spark, root)
+        qrows, C, cbs = f_q.result(), f_c.result(), f_cb.result()
+    return ivfpq_serve_rows(spark, root, qrows, k, n_probe, _model=(C, cbs))
 
 
 def ivfpq_serve_queries(
@@ -411,21 +423,29 @@ def ivfpq_serve_queries(
     return ivfpq_serve_rows(queries.sparkSession, root, qrows, k, n_probe)
 
 
+def _read_coarse_matrix(spark: SparkSession, root: str):
+    import numpy as np
+
+    coarse_rows = TableStore(spark, os.path.join(root, "coarse")).read().collect()
+    return np.array(
+        [v for _, v in sorted((int(r.cent_id), [int(x) for x in r.cv]) for r in coarse_rows)],
+        dtype=np.int64,
+    )
+
+
 def ivfpq_serve_rows(
     spark: SparkSession,
     root: str,
     qrows,
     k: int = SERVE_K,
     n_probe: int = sim.IVFPQ_PROBE,
+    _model=None,
 ) -> DataFrame:
-    import numpy as np
-
-    coarse_rows = TableStore(spark, os.path.join(root, "coarse")).read().collect()
-    C = np.array(
-        [v for _, v in sorted((int(r.cent_id), [int(x) for x in r.cv]) for r in coarse_rows)],
-        dtype=np.int64,
-    )
-    cbs = _read_codebooks(spark, root)
+    if _model is not None:
+        C, cbs = _model
+    else:
+        C = _read_coarse_matrix(spark, root)
+        cbs = _read_codebooks(spark, root)
     m = len(cbs)
     probe_rows = sim._ivfpq_query_probes(qrows, C, cbs, n_probe)
     probes = spark.createDataFrame(

@@ -25,6 +25,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .common import spread
+
 N_PLANES = 16
 EMB_DIM = 64
 
@@ -69,7 +71,10 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFr
     queries = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    corpus = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
+    # corpus side spread: the fixture corpus is one parquet file, so
+    # the broadcast-nested-loop scoring stage otherwise runs one task
+    # (no-op for well-partitioned production inputs)
+    corpus = spread(embeddings).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
     scored = (
         F.broadcast(queries)
         .join(corpus, F.expr("query_id <> neighbor_id"))
