@@ -55,6 +55,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from .common import spread
+
 #: duplicate-span window width, in tokens. 16 bytes of the identity
 #: byte vocab ≈ the shortest span Lee et al. treat as memorizable;
 #: long enough that variable-field windows stay unique at small SF.
@@ -78,15 +80,12 @@ def _spread(df: DataFrame) -> DataFrame:
     Window/pair explosion fans each row out ~n_tok× (≈900× on the
     fixture corpus), so a token table read from a handful of small
     files would otherwise run the whole fan-out stage on a handful of
-    cores. One round-robin exchange of the *narrow* token rows (KB/row)
-    buys ~n_tok× parallelism for the expensive stage. At production
-    scale the input arrives in thousands of partitions and this
-    no-ops — the guard fires only when partitions < defaultParallelism.
+    cores. Shared guard logic lives in ``common.spread`` (r7): a
+    round-robin exchange of the *narrow* token rows ONLY when
+    partitions < defaultParallelism — at production scale the input
+    arrives in thousands of partitions and this no-ops.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return spread(df)
 
 
 def _window_spans(tokens_df: DataFrame, L: int) -> DataFrame:
