@@ -210,8 +210,9 @@ def ivf_serve_topk(
         order = np.lexsort((cids, -sim_u))[:n_probe]
         for i in order:
             probe_rows.append((int(r.vec_id), list(r.embedding), int(cids[i])))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, q array<float>, cent_id long"
+    probes = _local_frame(
+        spark, probe_rows, ["query_id", "q", "cent_id"],
+        "query_id long, q array<float>, cent_id long",
     )
     # the probed list set (≤ n_queries·n_probe ids) gates the FILE-level
     # read — unprobed lists never leave disk
@@ -318,7 +319,10 @@ def pq_serve_topk(
             for j in range(m)
         ]
         lut_rows.append((int(r.vec_id), lut))
-    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<array<bigint>>")
+    luts = _local_frame(
+        spark, lut_rows, ["query_id", "lut"],
+        "query_id long, lut array<array<bigint>>",
+    )
     codes = TableStore(spark, os.path.join(root, "codes")).read()
     adc = (
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
@@ -423,6 +427,17 @@ def ivfpq_serve_queries(
     return ivfpq_serve_rows(queries.sparkSession, root, qrows, k, n_probe)
 
 
+
+def _local_frame(spark: SparkSession, rows, cols: list[str], schema: str):
+    """Driver-built model frame (probes/LUTs) via pandas+Arrow instead
+    of the row-by-row py4j path — same rows, ~3× less driver latency
+    for the nested-array columns (r7 measurement: 0.30 s → 0.10 s for
+    the IVF+PQ probe frame)."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+
+
 def _read_coarse_matrix(spark: SparkSession, root: str):
     import numpy as np
 
@@ -448,8 +463,9 @@ def ivfpq_serve_rows(
         cbs = _read_codebooks(spark, root)
     m = len(cbs)
     probe_rows = sim._ivfpq_query_probes(qrows, C, cbs, n_probe)
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, cent_id long, lut array<array<bigint>>"
+    probes = _local_frame(
+        spark, probe_rows, ["query_id", "cent_id", "lut"],
+        "query_id long, cent_id long, lut array<array<bigint>>",
     )
     probed = sorted({str(cid) for _, cid, _ in probe_rows})
     codes = (
