@@ -194,7 +194,9 @@ def cmd_token_curate(args) -> None:
         # serves), then the deterministic md5-uniform gate thins.
         rates = tks.sample_rates(tks.mixture_weights(kept_tok))
         if args.rates_out:
-            rates.write.mode("errorifexists").parquet(args.rates_out)
+            rates.write.mode("errorifexists").option(
+                "compression", "zstd"
+            ).parquet(args.rates_out)
             rates = spark.read.parquet(args.rates_out)
         # persisted: both the receipt count and the --kept-out write
         # consume the decisions, and without a cache each would replay

@@ -850,14 +850,38 @@ def _embs(spark, sf_dir):
 # --------------------------------------------------------------- registry
 
 
+#: r7 rotation (VERDICT r6 next-round #6): the driver's CORRECTNESS
+#: gate samples the FIRST 50 entries of ``queries()`` in dict order,
+#: so the front window must hold the entries whose last driver row is
+#: OLDEST. This list = the 1 entry last verified r4 (rel_percentiles)
+#: + the 47 last verified r5 (their relative order preserved) + two
+#: r6-verified entries whose code paths this optimization round
+#: touched (pipeline_route_receipts — the ingest receipts tail;
+#: ann_ivfpq_serve_topk — the serve-path reworks). Everything else
+#: (last verified r6) follows in its existing order, so no row's
+#: driver verification goes >2 rounds stale.
+_R7_VERIFY_FRONT = [
+    "rel_percentiles", "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh_pairs",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_verified_pairs",
+    "dedup_groups", "dedup_survivors", "text_stats", "text_token_counts",
+    "text_lang_id", "text_fingerprint", "text_repetition", "text_decontaminate",
+    "text_unigram_rarity", "ann_pq_bigspace_topk", "ann_ivf_bigk_assign", "ann_ivfpq_topk",
+    "multimodal_decode_features", "multimodal_decode_summary", "ann_cosine_topk", "ann_lsh_bucket_stats",
+    "ann_embedding_near_dup", "ann_ivf_assignments", "ann_ivf_topk", "ann_pq_trained_topk",
+    "ann_ivf_kmeans_topk", "ann_pq_topk", "ann_pq_topk_rerank", "corpus_tfidf_topk",
+    "corpus_bloom_decontaminate", "corpus_passage_dedup", "corpus_pii_redact", "corpus_sample_per_source",
+    "corpus_normalize_text", "corpus_boilerplate_removal", "corpus_source_mixture", "corpus_materialize_chunks",
+    "corpus_materialize_token_chunks", "multimodal_summary", "corpus_pack_chunks", "corpus_curate_pack",
+    "corpus_quality_filter", "corpus_split_assign", "corpus_ngram_topk", "multimodal_features",
+    "pipeline_route_receipts", "ann_ivfpq_serve_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver's CORRECTNESS gate samples the FIRST
-    # 50 entries in dict order. Never-driver-verified entries lead,
-    # then the entries whose last driver row is OLDEST (the r6 rotation
-    # puts pipeline_*/rel_* — last sampled r4 — back in the window per
-    # VERDICT r5 next-round #6), then the freshest tail. No row's
-    # driver verification goes >2 rounds stale.
-    return {
+    # NOTE on ordering: the literal below keeps the r6 authoring order
+    # (grouped by family, never-verified-first); the returned dict is
+    # re-keyed so _R7_VERIFY_FRONT leads — see its comment.
+    q = {
         # --- round-6 late additions (never driver-verified) lead:
         # exact-integer α=1/2 temperature mixture reweighting
         # (UniMax/XLM-R-style source sampling weights, all BIGINT —
@@ -1031,6 +1055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_assign": lambda s, d: cp.split_assign(_docs(s, d)),
         "corpus_ngram_topk": lambda s, d: cp.ngram_topk(_docs(s, d)),
         "multimodal_features": lambda s, d: mm.media_features_exact(_docs(s, d)),
+    }
+    front = set(_R7_VERIFY_FRONT)
+    assert front <= set(q), sorted(front - set(q))
+    return {k: q[k] for k in _R7_VERIFY_FRONT} | {
+        k: v for k, v in q.items() if k not in front
     }
 
 
