@@ -184,7 +184,10 @@ def _anyvalue(v, depth: int = 3):
     exactly like the unrolled Catalyst schema (schemas.ANYVALUE_DEPTH)."""
     if not isinstance(v, dict):
         return None
-    s = _as_str(v.get("stringValue"))
+    s = v.get("stringValue")
+    if type(s) is str:  # fast path: the overwhelmingly common branch
+        return s
+    s = _as_str(s)
     if s is not None:
         return s
     b = v.get("boolValue")
@@ -230,11 +233,22 @@ def _attrs_native(attrs, depth: int = 3) -> dict | None:
     for kv in attrs:
         if kv is None:
             continue
-        k = _as_str(kv.get("key"))
-        if k is None:
-            continue
-        out[k] = _anyvalue(kv.get("value"), depth)
-    return dict(sorted(out.items()))
+        k = kv.get("key")
+        if type(k) is not str:  # fast path skips the _as_str call
+            k = _as_str(k)
+            if k is None:
+                continue
+        val = kv.get("value")
+        # inline the hot _anyvalue prefix (dict with a plain-string
+        # stringValue); everything else takes the full decoder
+        if type(val) is dict:
+            sv = val.get("stringValue")
+            out[k] = sv if type(sv) is str else _anyvalue(val, depth)
+        else:
+            out[k] = _anyvalue(val, depth)
+    if len(out) > 1:
+        return dict(sorted(out.items()))
+    return out
 
 
 _NEEDS_ESCAPE = __import__("re").compile(r'[\\"\x00-\x1f]')
@@ -271,8 +285,17 @@ def _hex_id(s) -> str | None:
     return s.lower()
 
 
+_HEX_RE = __import__("re").compile(r"[0-9a-f]+\Z")
+
+
 def _valid_hex(s: str | None) -> bool:
-    return s is not None and len(s) % 2 == 0 and len(s) > 0 and set(s) <= HEX_CHARS
+    # fullmatch([0-9a-f]+) ≡ the set-inclusion check (non-empty, all
+    # lowercase hex) at C speed — no per-call set allocation
+    return (
+        s is not None
+        and len(s) % 2 == 0
+        and _HEX_RE.fullmatch(s) is not None
+    )
 
 
 def _nanos_ts(v) -> datetime | None:
@@ -405,18 +428,40 @@ def parse_token_sequences_arrow(
             n_toks = rb.column(rb.schema.get_field_index("n_tok")).to_pylist()
             sources = rb.column(rb.schema.get_field_index("source")).to_pylist()
 
+            # one vectorized range check + uint8 conversion for the
+            # whole batch (identity byte vocab holds for virtually all
+            # input); per-row min/max only when the batch has any
+            # out-of-vocab token
+            all_bytes = values.size == 0 or (
+                values.min() >= 0 and values.max() <= 255
+            )
+            vals_u8 = values.astype(np.uint8) if all_bytes else None
+
             rows: list[dict] = []
-            for i in range(rb.num_rows):
-                rows.extend(
-                    _parse_one_bytes(
-                        doc_ids[i],
-                        values[offsets[i] : offsets[i + 1]],
-                        n_toks[i],
-                        sources[i],
-                        build_inner,
-                        need_heavy,
+            if all_bytes:
+                for i in range(rb.num_rows):
+                    rows.extend(
+                        _parse_one_raw(
+                            doc_ids[i],
+                            vals_u8[offsets[i] : offsets[i + 1]].tobytes(),
+                            n_toks[i],
+                            sources[i],
+                            build_inner,
+                            need_heavy,
+                        )
                     )
-                )
+            else:
+                for i in range(rb.num_rows):
+                    rows.extend(
+                        _parse_one_bytes(
+                            doc_ids[i],
+                            values[offsets[i] : offsets[i + 1]],
+                            n_toks[i],
+                            sources[i],
+                            build_inner,
+                            need_heavy,
+                        )
+                    )
 
             arrays = [
                 pa.array([r[col] for r in rows], type=types[col]) for col in emit
@@ -432,11 +477,19 @@ def _parse_one_bytes(
     """Parse from the zero-copy int array slice. ``need`` lists the
     heavy fields to actually build; ``payload`` (the raw bytes) is
     attached to every emitted row when requested."""
-    carry = "payload" in need
     if seg.size and (seg.min() < 0 or seg.max() > 255):
         # out-of-vocab tokens: no byte representation exists
         return _null_row(doc_id, None, n_tok, source, "undecodable_payload")
-    raw = seg.astype(np.uint8).tobytes()
+    return _parse_one_raw(
+        doc_id, seg.astype(np.uint8).tobytes(), n_tok, source, with_inner, need
+    )
+
+
+def _parse_one_raw(
+    doc_id, raw, n_tok, source, with_inner, need=frozenset(_HEAVY)
+) -> list[dict]:
+    """Parse from payload bytes already proven in-vocab (0..255)."""
+    carry = "payload" in need
     try:
         env = _loads(raw)  # orjson parses the UTF-8 bytes directly
     except ValueError:
@@ -584,6 +637,8 @@ def _span_row(
     doc_id, n_tok, source, with_inner, need=frozenset(_HEAVY),
 ) -> dict:
     attrs_native = _attrs_native(sp.get("attributes"))
+    scope_name = _as_str(scope.get("name"))
+    scope_version = _as_str(scope.get("version"))
     trace_id = _hex_id(sp.get("traceId"))
     span_id = _hex_id(sp.get("spanId"))
     parent = _hex_id(sp.get("parentSpanId"))
@@ -691,10 +746,10 @@ def _span_row(
         if flags is not None:
             doc["flags"] = flags
         doc["kind"] = kind
-        if _as_str(scope.get("name")) is not None:
-            doc["scopeName"] = _as_str(scope.get("name"))
-        if _as_str(scope.get("version")) is not None:
-            doc["scopeVersion"] = _as_str(scope.get("version"))
+        if scope_name is not None:
+            doc["scopeName"] = scope_name
+        if scope_version is not None:
+            doc["scopeVersion"] = scope_version
         doc["startTime"] = _rfc3339(start)
         doc["endTime"] = _rfc3339(end)
         doc["attributes"] = attrs_native or {}
@@ -723,8 +778,8 @@ def _span_row(
         "end_time": end,
         "trace_state": trace_state,
         "flags": flags,
-        "scope_name": _as_str(scope.get("name")),
-        "scope_version": _as_str(scope.get("version")),
+        "scope_name": scope_name,
+        "scope_version": scope_version,
         "status_code": status_code,
         "status_message": status_message,
         "attributes": _attrs_jsonmap(attrs_native) if "attributes" in need else None,
