@@ -468,6 +468,13 @@ def parse_token_sequences_protobuf(
                     tok_col = tok_col.combine_chunks()
                 offsets = tok_col.offsets.to_numpy(zero_copy_only=False)
                 values = tok_col.values.to_numpy(zero_copy_only=False)
+                # one vectorized vocab check + uint8 conversion for the
+                # whole batch (parse_arrow's r7 shape); per-row min/max
+                # only when the batch holds any out-of-vocab token
+                all_bytes = values.size == 0 or (
+                    values.min() >= 0 and values.max() <= 255
+                )
+                vals_u8 = values.astype(np.uint8) if all_bytes else None
             doc_ids = rb.column(names.index("doc_id")).to_pylist()
             n_toks = rb.column(names.index("n_tok")).to_pylist() if "n_tok" in names else [None] * rb.num_rows
             sources = rb.column(names.index("source")).to_pylist() if "source" in names else [None] * rb.num_rows
@@ -476,6 +483,8 @@ def parse_token_sequences_protobuf(
             for i in range(rb.num_rows):
                 if binary_col:
                     raw = payloads[i]
+                elif all_bytes:
+                    raw = vals_u8[offsets[i] : offsets[i + 1]].tobytes()
                 else:
                     seg = values[offsets[i] : offsets[i + 1]]
                     if seg.size and (seg.min() < 0 or seg.max() > 255):
